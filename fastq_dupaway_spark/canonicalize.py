@@ -1,0 +1,74 @@
+"""Canonicalization: stable turn ordering + conversation signatures.
+
+Reference analog: the record view + packed-hash projection
+(/root/reference/src/fastqview.cpp:89-119 parse,
+/root/reference/src/seq_utils.cpp:23-49 base-5 packing,
+/root/reference/src/hash_dup_remover.hpp:43-68 setRecordHash). The packing
+existed to compare sequences via compact 64-bit words; Spark's equivalent is
+a cryptographic digest column computed JVM-side (sha2 — collision-safe at
+10^12-turn scale, where 64-bit xxhash64 WOULD birthday-collide), grouped and
+shuffled as a fixed-width binary key instead of full text.
+
+All expressions are built-in column functions — whole-stage codegen, no
+Python in this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: separator between per-turn digests inside a conversation signature;
+#: cannot appear in hex sha output.
+_SEP = "|"
+
+
+def turn_hashes(transcripts: DataFrame) -> DataFrame:
+    """Per-turn content digest. Narrow (no shuffle); scan-adjacent so
+    Catalyst prunes unused carried columns out of the parquet read."""
+    return transcripts.withColumn("turn_hash", F.sha2(F.col("text"), 256))
+
+
+def conversation_signatures(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, conv_sig, n_turns): one row per conversation.
+
+    conv_sig = sha2 over the turn digests in stable (turn_idx) order —
+    the k-turn generalization of setRecordPair equality
+    (/root/reference/src/hash_dup_remover.cpp:26-33: both hashes AND both
+    lengths must match; n_turns is baked into the digest stream so
+    differing turn counts can never collide).
+
+    One shuffle, keyed by conv_id (high-entropy key — no skew). On an
+    Iceberg table bucketed by conv_id this becomes shuffle-free.
+    """
+    return (
+        turn_hashes(transcripts)
+        .groupBy("conv_id")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    _SEP,
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("turn_idx", "turn_hash"))
+                        ),
+                        lambda s: s["turn_hash"],
+                    ),
+                ),
+                256,
+            ).alias("conv_sig"),
+            F.count("*").alias("n_turns"),
+        )
+    )
+
+
+def conversation_texts(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, texts: array<string>) with texts in turn order — feeds the
+    parity scan and the small-scale detectors' verify stages. Carries full
+    text, so only used where the stage genuinely needs payload bytes."""
+    return transcripts.groupBy("conv_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+            lambda s: s["text"],
+        ).alias("texts")
+    )

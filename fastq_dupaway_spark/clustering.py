@@ -1,0 +1,122 @@
+"""Connected components over the candidate-pair graph.
+
+The reference never needs this: its clusters are runs over a sorted file
+(/root/reference/src/seq_dup_remover.hpp:78-105). The generalized detectors
+(MinHash/SimHash/containment) emit an unordered edge list instead, so
+clustering = connected components. Implemented as the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) on DataFrames: O(log^2 n) rounds, each
+round two shuffles, per-iteration localCheckpoint to truncate lineage
+(SURVEY.md §4 custom-work item 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to the
+    minimum of N(u) ∪ {u}."""
+    bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    grouped = bidir.groupBy("src").agg(
+        F.collect_set("dst").alias("nbrs"),
+    )
+    return (
+        grouped.select(
+            F.col("src").alias("u"),
+            F.least(F.array_min("nbrs"), F.col("src")).alias("m"),
+            F.explode(F.filter("nbrs", lambda v: v > F.col("src"))).alias("v"),
+        )
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges (src > dst); for each node u: connect u and all its
+    smaller neighbors to the minimum of that set."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    grouped = oriented.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    return (
+        grouped.select(
+            F.col("src").alias("u"),
+            F.array_min("nbrs").alias("m"),
+            F.explode(
+                F.array_union("nbrs", F.array(F.col("src")))
+            ).alias("v"),
+        )
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """pairs: (conv_a, conv_b) undirected edges. Returns (conv_id,
+    rep_conv_id) for every node that appears in an edge, where rep is the
+    component minimum (matching the exact detector's min-conv_id
+    representative election).
+
+    Driver-side loop with a cheap fingerprint-based convergence check:
+    stop when the oriented edge set is a fixed point. Each iteration
+    localCheckpoints to keep lineage (and thus task binary size) bounded —
+    without it the plan doubles per round.
+    """
+    edges = (
+        pairs.select(F.col("conv_a").alias("src"), F.col("conv_b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def fingerprint(e: DataFrame):
+        return (
+            e.select(
+                F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+            )
+            .first()
+        )
+
+    prev = fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = fingerprint(edges)
+        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            break
+        prev = cur
+
+    # After convergence every edge is (node -> component min); nodes that
+    # ARE the min appear only as dst. Emit both sides.
+    members = edges.select(
+        F.col("src").alias("conv_id"), F.col("dst").alias("rep_conv_id")
+    )
+    reps = edges.select(
+        F.col("dst").alias("conv_id"), F.col("dst").alias("rep_conv_id")
+    ).distinct()
+    return members.union(reps)
+
+
+def clusters_with_singletons(
+    all_ids: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """Full (conv_id, rep_conv_id) assignment: components from `pairs`
+    plus rep=self for conversations untouched by any edge. all_ids must
+    have a `conv_id` column."""
+    comp = connected_components(pairs)
+    singles = all_ids.select("conv_id").join(
+        comp.select("conv_id"), "conv_id", "left_anti"
+    )
+    return comp.union(
+        singles.select("conv_id", F.col("conv_id").alias("rep_conv_id"))
+    )

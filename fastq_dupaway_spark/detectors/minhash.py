@@ -1,0 +1,172 @@
+"""MinHash + LSH detector — Jaccard near-dups.
+
+No reference analog (the north-star generalization, BASELINE.json): the
+reference only knows exact/prefix/Hamming equivalence; web-scale transcript
+dedup additionally needs set-similarity. Pipeline:
+
+1. shingles: word n-grams per conversation over turn-level token streams
+   (turn boundaries are shingle barriers — a shingle never spans turns, so
+   turn ordering is part of the signal). Built-in columnar ops: split +
+   sequence + transform + explode; shingle -> 64-bit xxhash64. No Python.
+2. MinHash signatures: k permutations (a_i * h + b_i mod 2^61-1) over each
+   conversation's shingle-hash set, computed in ONE vectorized numpy pass
+   per group via applyInPandas (Arrow; the only Python stage, and it is
+   batch-vectorized — north_rule's 'vectorized pandas/Arrow UDFs, no
+   per-row Python').
+3. LSH banding: b bands x r rows; band key = xxhash64 of the signature
+   slice. Self-join on (band_id, band_key) -> candidates. Hot buckets
+   capped + AQE skew join (SURVEY.md §4 item 2).
+4. exact Jaccard verify on shingle-hash sets (array_intersect/array_union,
+   JVM-side) -> verified pairs at threshold t.
+
+Collision note: shingle identity uses xxhash64 — at 10^12 turns a 64-bit
+birthday collision merges two shingles occasionally, which perturbs one
+Jaccard estimate by O(1/|set|); acceptable for a near-dup detector (the
+exact detector path uses sha2 and is collision-safe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+
+def shingle_hashes(transcripts: DataFrame, n: int = 3) -> DataFrame:
+    """(conv_id, sh) distinct shingle 64-bit hashes; word n-grams per turn.
+
+    Turns shorter than n words contribute one whole-turn shingle so short
+    turns are not silently unrepresented.
+    """
+    toks = transcripts.select(
+        "conv_id",
+        F.split(F.col("text"), r"\s+").alias("toks"),
+    )
+    grams = toks.select(
+        "conv_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join("toks", " ")))
+        ).alias("shingle"),
+    )
+    return grams.select(
+        "conv_id", F.xxhash64("shingle").alias("sh")
+    ).distinct()
+
+
+def _perm_coeffs(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Odd multipliers + offsets for multiply-shift hashing mod 2^64 —
+    wraparound arithmetic keeps the kernel a single vectorized numpy
+    expression (no 128-bit emulation needed)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 1 << 62, size=k, dtype=np.int64).astype(np.uint64) * 2 + 1
+    b = rng.randint(0, 1 << 62, size=k, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    shingles: DataFrame, k: int = 128, seed: int = 42
+) -> DataFrame:
+    """(conv_id, sig array<bigint> length k). One shuffle (by conv_id);
+    per-group numpy is fully vectorized: sig = min(a*h + b mod 2^64)."""
+    a, b = _perm_coeffs(k, seed)
+
+    def group_minhash(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["sh"].to_numpy().astype(np.uint64)
+        sig = np.min(a[:, None] * h[None, :] + b[:, None], axis=1)  # mod 2^64
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "sig": [sig.astype(np.int64).tolist()],
+            }
+        )
+
+    return shingles.groupBy("conv_id").applyInPandas(
+        group_minhash, schema="conv_id string, sig array<bigint>"
+    )
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    n_bands: int = 16,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Band self-join: (conv_a, conv_b) with conv_a < conv_b."""
+    banded = signatures.select(
+        "conv_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band_id"),
+                    F.xxhash64(
+                        F.slice(
+                            "sig",
+                            bidx * (F.size("sig") / n_bands).cast("int") + 1,
+                            (F.size("sig") / n_bands).cast("int"),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("conv_id", "band.band_id", "band.band_key")
+
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_key"))
+    )
+    capped = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.conv_id") < F.col("b.conv_id"),
+            ],
+        )
+        .select(
+            F.col("a.conv_id").alias("conv_a"), F.col("b.conv_id").alias("conv_b")
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard_pairs(
+    shingles: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on shingle-hash sets, JVM-side array ops."""
+    sets = shingles.groupBy("conv_id").agg(F.collect_set("sh").alias("shs"))
+    a = sets.select(F.col("conv_id").alias("conv_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("conv_id").alias("conv_b"), F.col("shs").alias("shs_b"))
+    joined = candidates.join(a, "conv_a").join(b, "conv_b")
+    inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
+    union = F.size(F.array_union("shs_a", "shs_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("conv_a", "conv_b", "jaccard")
+    )
+
+
+def minhash_pairs(
+    transcripts: DataFrame,
+    n: int = 3,
+    k: int = 128,
+    n_bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end: shingles -> signatures -> LSH -> exact-Jaccard verify."""
+    sh = shingle_hashes(transcripts, n)
+    sigs = minhash_signatures(sh, k, seed)
+    cands = lsh_candidates(sigs, n_bands, max_bucket)
+    return verify_jaccard_pairs(sh, cands, threshold).select("conv_a", "conv_b")

@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes each implemented operator over a deterministic
+transcripts table derived from documents.parquet (corpus.build_transcripts
+— planted exact copies / prefix extensions / Hamming edits), plus
+text-analysis and similarity operators over documents/embeddings directly.
+oracle_sql() mirrors each query in DuckDB SQL via the portable derivation
+CTE (corpus.TRANSCRIPTS_DUCKDB_SQL). Column names/aliases match pairwise.
+
+Queries without an oracle entry (engine-hash-dependent or stateful-scan
+semantics not expressible in one SQL statement) get the driver's weaker
+rows-only check; they are listed at the bottom of queries().
 """
 
 from __future__ import annotations
@@ -12,27 +17,370 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fastq_dupaway_spark.corpus import TRANSCRIPTS_DUCKDB_SQL, build_transcripts
+from fastq_dupaway_spark.canonicalize import conversation_texts
+from fastq_dupaway_spark.clustering import clusters_with_singletons
+from fastq_dupaway_spark.detectors import exact
+from fastq_dupaway_spark.detectors.hamming_exact import hamming_pairs_exact
+from fastq_dupaway_spark.detectors.minhash import minhash_pairs
+from fastq_dupaway_spark.detectors.parity_scan import parity_clusters
+from fastq_dupaway_spark.functions import text as TX
+from fastq_dupaway_spark.functions.similarity import cosine_topk
+from fastq_dupaway_spark.resync import resync_streams
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# Spark query callables
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = build_transcripts(spark, sf_dir)
+    return exact.exact_survivor_ids(t).orderBy("conv_id")
+
+
+def _q_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = build_transcripts(spark, sf_dir)
+    return exact.exact_clusters(t).orderBy("conv_id")
+
+
+def _q_exact_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = build_transcripts(spark, sf_dir)
+    return (
+        exact.exact_clusters(t)
+        .groupBy(F.col("rep_conv_id"))
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .orderBy("rep_conv_id")
+    )
+
+
+def _q_resync_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = build_transcripts(spark, sf_dir)
+    synced = resync_streams(
+        t.where(F.col("turn_idx") == 0), t.where(F.col("turn_idx") == 1)
+    )
+    return exact.exact_survivor_ids(synced).orderBy("conv_id")
+
+
+def _q_loose_turn0_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = build_transcripts(spark, sf_dir)
+    ct0 = conversation_texts(t.where(F.col("turn_idx") == 0))
+    return parity_clusters(ct0, "loose", num_partitions=8).orderBy("conv_id")
+
+
+def _q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = build_transcripts(spark, sf_dir)
+    ct = conversation_texts(t)
+    return hamming_pairs_exact(t, ct, d=2).orderBy("conv_a", "conv_b")
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MinHash LSH (k=128, 32 bands x 4 rows) + exact-Jaccard >= 0.8
+    verify; at this band config P(miss) for a J>=0.8 pair is < 1e-7, so
+    the output equals the oracle's brute-force pair set."""
+    t = build_transcripts(spark, sf_dir)
+    return (
+        minhash_pairs(t, n=3, k=128, n_bands=32, threshold=0.8)
+        .orderBy("conv_a", "conv_b")
+    )
+
+
+def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of exact-Hamming pairs -> connected components: the full
+    clustering stage over a deterministic pair set (oracle mirrors with a
+    recursive min-label propagation CTE)."""
+    t = build_transcripts(spark, sf_dir)
+    ct = conversation_texts(t)
+    pairs = hamming_pairs_exact(t, ct, d=2)
+    return clusters_with_singletons(ct.select("conv_id"), pairs).orderBy(
+        "conv_id"
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(c).alias("n_tokens"),
+        F.length(c).alias("n_chars"),
+        TX.avg_token_len(c).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.stopword_ratio(c).alias("stopword_ratio"),
+        TX.quality_score_x10k(c).alias("quality_score_x10k"),
+    ).orderBy("doc_id")
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 83 == 0)
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level SimHash bit-distance pairs (engine-hash-dependent
+    signature — rows-only check); the reference char-Hamming relation is
+    oracle-checked via q_hamming_pairs."""
+    from fastq_dupaway_spark.detectors.simhash import simhash_pairs
+
+    t = build_transcripts(spark, sf_dir)
+    ct = conversation_texts(t)
+    return simhash_pairs(ct, bit_threshold=3).orderBy("conv_a", "conv_b")
+
+
+def _q_hamming_parity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference run-semantics Hamming scan (stateful sorted-adjacency —
+    not single-statement SQL; rows-only check, parity is pytest-scored
+    against the reference oracle)."""
+    t = build_transcripts(spark, sf_dir)
+    ct = conversation_texts(t)
+    return parity_clusters(ct, "hamming", d=2, num_partitions=8).orderBy(
+        "conv_id"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact dedup cluster-size profile on sf0.001."""
+    return _q_exact_cluster_sizes(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_survivors": _q_exact_survivors,
+        "exact_clusters": _q_exact_clusters,
+        "exact_cluster_sizes": _q_exact_cluster_sizes,
+        "resync_exact_survivors": _q_resync_exact_survivors,
+        "loose_turn0_clusters": _q_loose_turn0_clusters,
+        "hamming_pairs": _q_hamming_pairs,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "near_dup_components": _q_near_dup_components,
+        "token_stats": _q_token_stats,
+        "quality": _q_quality,
+        "ann_topk": _q_ann_topk,
+        # rows-only checks (no oracle entry):
+        "simhash_pairs": _q_simhash_pairs,
+        "hamming_parity_clusters": _q_hamming_parity_clusters,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (ANSI; documents/embeddings pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_T = TRANSCRIPTS_DUCKDB_SQL  # WITH ... transcripts AS (...)
+
+_KEYS = """
+, keys AS (
+    SELECT conv_id, string_agg(text, chr(31) ORDER BY turn_idx) AS k
+    FROM transcripts GROUP BY conv_id
+),
+assigned AS (
+    SELECT conv_id, min(conv_id) OVER (PARTITION BY k) AS rep_conv_id
+    FROM keys
+)
+"""
+
+_HAMMING_PAIRS = """
+, nt AS (SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id),
+t0 AS (
+    SELECT t.conv_id, t.text, length(t.text) AS len0, nt.n_turns
+    FROM transcripts t JOIN nt USING (conv_id) WHERE t.turn_idx = 0
+),
+chunks AS (
+    SELECT conv_id, n_turns, len0, k AS chunk_id,
+           substr(text, CAST(floor(k * len0 / 3) AS INTEGER) + 1,
+                  CAST(floor((k + 1) * len0 / 3) AS INTEGER)
+                  - CAST(floor(k * len0 / 3) AS INTEGER)) AS chunk_text
+    FROM t0, LATERAL unnest(range(3)) AS u(k)
+    WHERE CAST(floor((k + 1) * len0 / 3) AS INTEGER)
+          > CAST(floor(k * len0 / 3) AS INTEGER)
+),
+cand AS (
+    SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b
+    FROM chunks a JOIN chunks b
+      ON a.n_turns = b.n_turns AND a.len0 = b.len0
+     AND a.chunk_id = b.chunk_id AND a.chunk_text = b.chunk_text
+     AND a.conv_id < b.conv_id
+),
+verified AS (
+    SELECT c.conv_a, c.conv_b
+    FROM cand c
+    JOIN transcripts ta ON ta.conv_id = c.conv_a
+    JOIN transcripts tb ON tb.conv_id = c.conv_b AND tb.turn_idx = ta.turn_idx
+    GROUP BY c.conv_a, c.conv_b
+    HAVING bool_and(CASE WHEN length(ta.text) = length(tb.text)
+                    THEN hamming(ta.text, tb.text) <= 2 ELSE false END)
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_survivors": _T + _KEYS + """
+            SELECT conv_id FROM assigned WHERE conv_id = rep_conv_id
+            ORDER BY conv_id
+        """,
+        "exact_clusters": _T + _KEYS + """
+            SELECT conv_id, rep_conv_id FROM assigned ORDER BY conv_id
+        """,
+        "exact_cluster_sizes": _T + _KEYS + """
+            SELECT rep_conv_id, count(*) AS n_members
+            FROM assigned GROUP BY rep_conv_id HAVING count(*) > 1
+            ORDER BY rep_conv_id
+        """,
+        "resync_exact_survivors": _T + """
+            , both_sides AS (
+                SELECT conv_id FROM transcripts WHERE turn_idx = 0
+                INTERSECT
+                SELECT conv_id FROM transcripts WHERE turn_idx = 1
+            ),
+            k2 AS (
+                SELECT t.conv_id,
+                       string_agg(t.text, chr(31) ORDER BY t.turn_idx) AS k
+                FROM transcripts t JOIN both_sides USING (conv_id)
+                WHERE t.turn_idx <= 1
+                GROUP BY t.conv_id
+            ),
+            assigned AS (
+                SELECT conv_id, min(conv_id) OVER (PARTITION BY k) AS rep
+                FROM k2
+            )
+            SELECT conv_id FROM assigned WHERE conv_id = rep ORDER BY conv_id
+        """,
+        "loose_turn0_clusters": _T + """
+            , t0 AS (SELECT conv_id, text FROM transcripts WHERE turn_idx = 0),
+            runs AS (
+                SELECT conv_id, text,
+                       CASE WHEN lag(text) OVER w IS NOT NULL
+                                 AND starts_with(text, lag(text) OVER w)
+                            THEN 0 ELSE 1 END AS new_run
+                FROM t0 WINDOW w AS (ORDER BY text, conv_id)
+            ),
+            seg AS (
+                SELECT conv_id, text,
+                       SUM(new_run) OVER (ORDER BY text, conv_id
+                                          ROWS UNBOUNDED PRECEDING) AS run_id
+                FROM runs
+            )
+            SELECT conv_id,
+                   first_value(conv_id) OVER (PARTITION BY run_id
+                                              ORDER BY text, conv_id
+                                              ROWS UNBOUNDED PRECEDING)
+                       AS rep_conv_id
+            FROM seg ORDER BY conv_id
+        """,
+        "hamming_pairs": _T + _HAMMING_PAIRS + """
+            SELECT conv_a, conv_b FROM verified ORDER BY conv_a, conv_b
+        """,
+        "jaccard_pairs": _T + """
+            , toks AS (
+                SELECT conv_id, string_split(text, ' ') AS t
+                FROM transcripts
+            ),
+            sh AS (
+                SELECT DISTINCT conv_id,
+                       CASE WHEN len(t) >= 3
+                            THEN array_to_string(list_slice(t, k + 1, k + 3), ' ')
+                            ELSE array_to_string(t, ' ') END AS shingle
+                FROM toks, LATERAL unnest(
+                    range(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 1 END)
+                ) AS u(k)
+            ),
+            sizes AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY conv_id),
+            inter AS (
+                SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.conv_id < b.conv_id
+                GROUP BY 1, 2
+            )
+            SELECT conv_a, conv_b
+            FROM inter
+            JOIN sizes sa ON sa.conv_id = conv_a
+            JOIN sizes sb ON sb.conv_id = conv_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            ORDER BY conv_a, conv_b
+        """,
+        "near_dup_components": _T + _HAMMING_PAIRS + """
+            , edges AS (
+                SELECT conv_a AS src, conv_b AS dst FROM verified
+                UNION
+                SELECT conv_b, conv_a FROM verified
+            ),
+            ids AS (SELECT DISTINCT conv_id FROM transcripts),
+            cc AS (
+                -- full reachability closure (components are small; a
+                -- monotone-descent shortcut would miss valley paths)
+                WITH RECURSIVE walk(node, reach) AS (
+                    SELECT conv_id, conv_id FROM ids
+                    UNION
+                    SELECT w.node, e.dst
+                    FROM walk w JOIN edges e ON e.src = w.reach
+                )
+                SELECT node, min(reach) AS rep FROM walk GROUP BY node
+            )
+            SELECT node AS conv_id, rep AS rep_conv_id FROM cc
+            ORDER BY conv_id
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars,
+                   round((length(text) - len(string_split(text, ' ')) + 1)
+                         / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
+                       AS avg_token_len
+            FROM documents ORDER BY doc_id
+        """,
+        "quality": """
+            WITH f AS (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) AS n_tok,
+                       len(list_filter(string_split(text, ' '),
+                           x -> x IN ('the','a','and','of','to','in','is','it')))
+                           AS n_stop
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(n_stop / CAST(n_tok AS DOUBLE), 4) AS stopword_ratio,
+                   CAST(floor((least(CAST(n_tok AS DOUBLE) / 64.0, 1.0)
+                               + least(4.0 * n_stop / n_tok, 1.0))
+                              / 2 * 10000) AS INTEGER) AS quality_score_x10k
+            FROM f ORDER BY doc_id
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id % 83 = 0
+            ),
+            c AS (
+                SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 4) AS sim
+                FROM q, c WHERE neighbor_id != query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, sim FROM ranked
+            WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+    }

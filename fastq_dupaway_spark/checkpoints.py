@@ -1,0 +1,149 @@
+"""Stage checkpoint store with manifests, per-partition lineage + metrics.
+
+North-rule requirement: every pipeline stage (signatures, bands, candidate
+pairs, components) is checkpointed with per-partition lineage and metrics
+so a killed run resumes from the last completed stage.
+
+Storage shim: the design target is an Iceberg table per stage
+(`catalog.checkpoints.<run>_<stage>`, snapshot id recorded in the
+manifest). This sandbox has no Iceberg runtime jar offline, so the shim
+writes the identical layout to parquet-on-dir plus a JSON manifest; the
+`CheckpointStore` interface is the only seam — swapping `_write_table` /
+`_read_table` for `df.writeTo(...).createOrReplace()` / `spark.read.table`
+turns it into the Iceberg path with no caller changes (SURVEY.md §7.3.5).
+
+Reference analog: the temp-dir lifecycle + sorted intermediate files
+(/root/reference/src/file_utils.cpp:116-130) — but durable and resumable
+instead of ephemeral, because at 10^12 turns re-running a lost stage costs
+hours.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def config_hash(params: dict[str, Any]) -> str:
+    """Stable digest of a stage's config — the resume key."""
+    blob = json.dumps(params, sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+@dataclass
+class StageResult:
+    df: DataFrame
+    stage: str
+    resumed: bool
+    rows: int
+    metrics: dict[str, Any] = field(default_factory=dict)
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- storage seam (parquet shim; Iceberg drop-in point) --------------
+    def _data_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage, "data")
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.root, stage, "_MANIFEST.json")
+
+    def _write_table(self, df: DataFrame, stage: str) -> None:
+        df.write.mode("overwrite").parquet(self._data_path(stage))
+
+    def _read_table(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._data_path(stage))
+
+    # -- public API -------------------------------------------------------
+    def manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def complete(self, stage: str, chash: str) -> bool:
+        m = self.manifest(stage)
+        return bool(m and m.get("config_hash") == chash and m.get("complete"))
+
+    def materialize(
+        self,
+        stage: str,
+        df_fn,
+        params: dict[str, Any],
+        extra_metrics: dict[str, Any] | None = None,
+    ) -> StageResult:
+        """Run-or-resume: if a completed checkpoint with the same config
+        hash exists, read it; else compute df_fn(), write data + manifest
+        (row count, per-partition lineage rows, wall time), return the
+        re-read DataFrame so downstream lineage starts at the checkpoint.
+        """
+        chash = config_hash(params)
+        if self.complete(stage, chash):
+            df = self._read_table(stage)
+            m = self.manifest(stage)
+            return StageResult(df, stage, True, m["rows"], m.get("metrics", {}))
+
+        t0 = time.monotonic()
+        df = df_fn()
+        self._write_table(df, stage)
+        out = self._read_table(stage)
+        per_part = [
+            {"partition_id": r["pid"], "rows": r["n"]}
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        rows = sum(p["rows"] for p in per_part)
+        metrics = {
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "partitions": per_part,
+            **(extra_metrics or {}),
+        }
+        man = {
+            "stage": stage,
+            "config_hash": chash,
+            "params": {k: str(v) for k, v in params.items()},
+            "rows": rows,
+            "complete": True,
+            "created_unix": time.time(),
+            "metrics": metrics,
+        }
+        tmp = self._manifest_path(stage) + ".tmp"
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(stage))  # atomic completion mark
+        return StageResult(out, stage, False, rows, metrics)
+
+    def invalidate(self, stage: str) -> None:
+        path = os.path.join(self.root, stage)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+
+    def report(self) -> list[dict]:
+        out = []
+        for stage in sorted(os.listdir(self.root)):
+            m = self.manifest(stage)
+            if m:
+                out.append(
+                    {
+                        "stage": stage,
+                        "rows": m["rows"],
+                        "wall_sec": m["metrics"].get("wall_sec"),
+                        "n_partitions": len(m["metrics"].get("partitions", [])),
+                    }
+                )
+        return out

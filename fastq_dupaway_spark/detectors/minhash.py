@@ -42,7 +42,9 @@ def shingle_hashes(transcripts: DataFrame, n: int = 3) -> DataFrame:
     """
     toks = transcripts.select(
         "conv_id",
-        F.split(F.col("text"), r"\s+").alias("toks"),
+        # literal single-space split (not \s+): keeps tokenization
+        # bit-identical to the ANSI-SQL oracle's string_split
+        F.split(F.col("text"), " ").alias("toks"),
     )
     grams = toks.select(
         "conv_id",
@@ -74,23 +76,32 @@ def _perm_coeffs(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 def minhash_signatures(
     shingles: DataFrame, k: int = 128, seed: int = 42
 ) -> DataFrame:
-    """(conv_id, sig array<bigint> length k). One shuffle (by conv_id);
-    per-group numpy is fully vectorized: sig = min(a*h + b mod 2^64)."""
+    """(conv_id, sig array<bigint> length k). One shuffle (by conv_id) into
+    collect_list, then a scalar pandas UDF computes ALL signatures of an
+    Arrow batch in one flattened numpy pass (np.minimum.reduceat over
+    segment offsets) — per-group applyInPandas costs one Python call per
+    conversation, ~10x slower at 10^7+ conversations."""
     a, b = _perm_coeffs(k, seed)
 
-    def group_minhash(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["sh"].to_numpy().astype(np.uint64)
-        sig = np.min(a[:, None] * h[None, :] + b[:, None], axis=1)  # mod 2^64
-        return pd.DataFrame(
-            {
-                "conv_id": [pdf["conv_id"].iloc[0]],
-                "sig": [sig.astype(np.int64).tolist()],
-            }
+    @F.pandas_udf("array<bigint>")
+    def sig_udf(shs: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(x) for x in shs), dtype=np.int64, count=len(shs))
+        if lens.sum() == 0:
+            return pd.Series([[0] * k] * len(shs))
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in shs]).astype(
+            np.uint64
         )
+        offsets = np.zeros(len(shs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sigs = np.empty((k, len(shs)), dtype=np.uint64)
+        for i in range(k):  # k vectorized passes over the flat batch
+            vals = a[i] * flat + b[i]  # mod 2^64 wraparound
+            sigs[i] = np.minimum.reduceat(vals, offsets)
+        out = sigs.T.astype(np.int64)
+        return pd.Series([row.tolist() for row in out])
 
-    return shingles.groupBy("conv_id").applyInPandas(
-        group_minhash, schema="conv_id string, sig array<bigint>"
-    )
+    sets = shingles.groupBy("conv_id").agg(F.collect_list("sh").alias("shs"))
+    return sets.select("conv_id", sig_udf(F.col("shs")).alias("sig"))
 
 
 def lsh_candidates(

@@ -55,6 +55,7 @@ _SCAN_SCHEMA = T.StructType(
         T.StructField("local_survivor", T.BooleanType()),
         T.StructField("local_head", T.StringType()),
         T.StructField("exported_texts", T.ArrayType(T.StringType())),
+        T.StructField("in_head", T.BooleanType()),
         T.StructField("is_last_survivor", T.BooleanType()),
         T.StructField("is_last_row", T.BooleanType()),
         T.StructField("n_rows", T.LongType()),
@@ -103,6 +104,7 @@ def parity_clusters(
     d: int = 2,
     num_partitions: int | None = None,
     head_cap: int = 4096,
+    head_survivors: int = 8,
 ) -> DataFrame:
     """(conv_id, rep_conv_id) under reference run semantics.
 
@@ -137,9 +139,16 @@ def parity_clusters(
             return
         decisions = _scan(rows, mode, d)
         n = len(rows)
-        last_surv_pos = max(
-            (i for i, dec in enumerate(decisions) if dec[1]), default=None
-        )
+        surv_positions = [i for i, dec in enumerate(decisions) if dec[1]]
+        last_surv_pos = surv_positions[-1] if surv_positions else None
+        # export budget: replay realigns at a local survivor the replay
+        # also keeps — almost always the 1st; export up to the
+        # `head_survivors`-th so the driver ships a handful of rows per
+        # partition, not the whole head (cap guards giant dup runs).
+        if len(surv_positions) >= head_survivors:
+            export_limit = min(surv_positions[head_survivors - 1], cap - 1)
+        else:
+            export_limit = min(n - 1, cap - 1)
         out = {
             "part_id": [],
             "pos": [],
@@ -147,18 +156,21 @@ def parity_clusters(
             "local_survivor": [],
             "local_head": [],
             "exported_texts": [],
+            "in_head": [],
             "is_last_survivor": [],
             "is_last_row": [],
             "n_rows": [],
         }
         for i, ((cid, texts), (_, surv, head)) in enumerate(zip(rows, decisions)):
-            export = i < cap or i == n - 1 or i == last_surv_pos
+            in_head = i <= export_limit
+            export = in_head or i == n - 1 or i == last_surv_pos
             out["part_id"].append(part_id)
             out["pos"].append(i)
             out["conv_id"].append(cid)
             out["local_survivor"].append(surv)
             out["local_head"].append(head)
             out["exported_texts"].append(texts if export else None)
+            out["in_head"].append(in_head)
             out["is_last_survivor"].append(i == last_surv_pos)
             out["is_last_row"].append(i == n - 1)
             out["n_rows"].append(n)
@@ -172,7 +184,8 @@ def parity_clusters(
         scanned.where(F.col("exported_texts").isNotNull())
         .select(
             "part_id", "pos", "conv_id", "local_survivor", "local_head",
-            "exported_texts", "is_last_survivor", "is_last_row", "n_rows",
+            "exported_texts", "in_head", "is_last_survivor", "is_last_row",
+            "n_rows",
         )
         .collect()
     )
@@ -181,7 +194,7 @@ def parity_clusters(
         s = parts.setdefault(
             r["part_id"], _PartSummary(r["part_id"], r["n_rows"], [], None, None)
         )
-        if r["pos"] < cap:
+        if r["in_head"]:
             s.head.append(
                 (r["pos"], r["conv_id"], list(r["exported_texts"]),
                  r["local_survivor"], r["local_head"])

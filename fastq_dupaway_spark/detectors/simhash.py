@@ -1,22 +1,27 @@
-"""SimHash detector — Hamming near-dups at scale.
+"""SimHash detector — structural near-dups via bit-sliced Hamming
+neighborhoods over conversation-level 64-bit SimHash.
 
 Reference analog: `--compare-seq tail-hamming --distance d`
-(/root/reference/src/comparator.cpp:76-91, hamming kernel
-/root/reference/src/seq_utils.cpp:65-72): dup <=> equal length AND
-character Hamming distance <= d, judged per turn, ALL turns must pass.
-The reference finds these by adjacency in a full sort; at 10^12 turns the
-scalable re-expression is:
+(/root/reference/src/comparator.cpp:76-91) re-imagined for text at scale.
+The reference's predicate (per-turn char Hamming <= d) is served exactly
+and cheaply by detectors/hamming_exact (chunk-blocking, recall 1.0); this
+detector is the classic web-scale SimHash pass (Charikar / Manku et al.):
 
-1. per-turn 64-bit SimHash over token features (vectorized pandas UDF —
-   numpy over Arrow batches, no per-row Python);
-2. conversation blocking key = (n_turns, turn-0 SimHash band): Hamming <= k
-   bits implies some contiguous slice of ceil(64/(k+1)) bits is equal
-   (pigeonhole over k+1 slices) — bit-sliced Hamming neighborhoods;
-3. band self-join -> candidate pairs (AQE skew-join splits hot bands;
-   oversized buckets are capped and reported, SURVEY.md §4 item 2);
-4. EXACT verify: per-turn character Hamming distance <= d for every
-   aligned turn, computed JVM-side with zip_with/aggregate — precision is
-   exact, only recall is probabilistic (scored vs the parity oracle).
+1. one 64-bit SimHash per CONVERSATION over the token multiset of all its
+   turns (vectorized pandas UDF — flattened numpy, no per-row loops).
+   Conversation-level granularity matters: token-vote margins grow with
+   document length, so small edits flip few bits; per-turn simhash on
+   10-token turns has razor-thin margins and every band collides.
+2. bit-sliced banding: n_bands = bit_threshold+1 contiguous slices;
+   Hamming(h1,h2) <= k implies some slice equal (pigeonhole) — recall 1.0
+   for the simhash-distance relation. Default k=3 -> 4 bands x 16 bits,
+   selective at 10^12 scale.
+3. band self-join (hot buckets capped + AQE skew split) -> candidates.
+4. exact verify JVM-side: bit_count(xor(sim_a, sim_b)) <= k.
+
+An optional second verify (verify_hamming_pairs) re-checks candidates
+against the reference's per-turn char-Hamming predicate when parity with
+fastq-dupaway semantics is wanted.
 """
 
 from __future__ import annotations
@@ -32,29 +37,6 @@ from pyspark.sql import types as T
 SIMHASH_BITS = 64
 
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text: tokens hashed to 64-bit ints; bit-majority
-    vote weighted by token count. Vectorized per Arrow batch."""
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, text in enumerate(texts):
-        toks = text.split() if text else []
-        if not toks:
-            out[i] = 0
-            continue
-        hashes = np.array(
-            [hash64(t) for t in toks], dtype=np.uint64
-        )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-            np.int32
-        )
-        votes = bits.sum(axis=0) * 2 - len(toks)
-        sim = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(b)
-        out[i] = sim
-    return pd.Series(out.astype(np.int64))
-
-
 def hash64(token: str) -> int:
     """Deterministic 64-bit token hash (FNV-1a), stable across workers —
     Python's builtin hash() is salted per-process and unusable here."""
@@ -65,48 +47,83 @@ def hash64(token: str) -> int:
     return h
 
 
+#: per-worker token-hash memo — transcript corpora have heavy-tailed token
+#: reuse, so the pure-Python FNV runs once per distinct token per worker.
+_token_hashes: dict[str, int] = {}
+
+
+def _simhash_flat(tok_lists: list[list[str]]) -> np.ndarray:
+    """SimHash for every token list in one flattened numpy pass
+    (np.add.reduceat over token segments) — no per-row inner loops."""
+    cache = _token_hashes
+    for tl in tok_lists:
+        for t in tl:
+            if t not in cache:
+                cache[t] = hash64(t)
+    lens = np.fromiter(
+        (len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists)
+    )
+    out = np.zeros(len(tok_lists), dtype=np.uint64)
+    nonempty = np.nonzero(lens > 0)[0]
+    if len(nonempty):
+        flat = np.fromiter(
+            (cache[t] for tl in tok_lists for t in tl),
+            dtype=np.uint64,
+            count=int(lens.sum()),
+        )
+        ne_lens = lens[nonempty]
+        offsets = np.zeros(len(nonempty), dtype=np.int64)
+        np.cumsum(ne_lens[:-1], out=offsets[1:])
+        # bit-plane loop: one O(total) pass per bit keeps peak memory at
+        # O(total) instead of a (total x 64) matrix per batch
+        acc = np.zeros(len(nonempty), dtype=np.uint64)
+        for b in range(SIMHASH_BITS):
+            plane = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(plane, offsets)
+            acc |= ((2 * sums - ne_lens) > 0).astype(np.uint64) << np.uint64(b)
+        out[nonempty] = acc
+    return out.astype(np.int64)
+
+
 @F.pandas_udf(T.LongType())
-def simhash_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+def conv_simhash_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """texts: array<string> column (conversation turns, in order) ->
+    64-bit simhash over the concatenated token stream."""
     for batch in texts:
-        yield _simhash_batch(batch)
+        tok_lists = [
+            [t for turn in turns for t in turn.split(" ")] if turns is not None else []
+            for turns in batch
+        ]
+        yield pd.Series(_simhash_flat(tok_lists))
 
 
-def turn_simhashes(transcripts: DataFrame) -> DataFrame:
-    """transcripts + simhash column (narrow; scan-adjacent)."""
-    return transcripts.withColumn("simhash", simhash_udf(F.col("text")))
+def conversation_simhashes(conv_texts: DataFrame) -> DataFrame:
+    """(conv_id, simhash). At extreme scale the same signature can be
+    built without collecting turn arrays: per-turn 64-wide vote vectors
+    summed in a groupBy (simhash votes are associative); this direct form
+    keeps one Arrow pass and is what the bench exercises."""
+    return conv_texts.select(
+        "conv_id", conv_simhash_udf(F.col("texts")).alias("simhash")
+    )
 
 
 def candidate_pairs(
-    transcripts: DataFrame,
-    bit_threshold: int = 7,
-    max_bucket: int = 2000,
+    conv_sims: DataFrame,
+    bit_threshold: int = 3,
+    max_bucket: int = 512,
 ) -> DataFrame:
-    """(conv_a, conv_b) candidate pairs from turn-0 SimHash banding.
+    """(conv_a, conv_b, sim_a, sim_b) candidates via bit-sliced banding.
 
-    bit_threshold k: pairs whose turn-0 simhashes differ in <= k bits are
-    guaranteed candidates (n_bands = k+1 slices). max_bucket caps
-    pathological bands (boilerplate turns): oversized buckets are dropped
-    from candidate generation — the hot-key quarantine of SURVEY.md §4 —
-    and surface in metrics, not silently.
+    n_bands = bit_threshold+1 slices of 64/(k+1) bits: any pair within k
+    bits shares a slice (pigeonhole). Oversized buckets (boilerplate
+    conversations hashing identically) are quarantined, not exploded —
+    the hot-key defense of SURVEY.md §4; AQE skew-join handles the rest.
     """
     n_bands = bit_threshold + 1
     width = SIMHASH_BITS // n_bands
-
-    turn0 = (
-        transcripts.where(F.col("turn_idx") == 0)
-        .select("conv_id", "text")
-    )
-    n_turns = transcripts.groupBy("conv_id").agg(
-        F.count("*").alias("n_turns")
-    )
-    sigs = (
-        turn_simhashes(turn0)
-        .join(n_turns, "conv_id")
-        .select("conv_id", "n_turns", "simhash")
-    )
-    bands = sigs.select(
+    bands = conv_sims.select(
         "conv_id",
-        "n_turns",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -120,22 +137,18 @@ def candidate_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("conv_id", "n_turns", "band.band_id", "band.band_val")
+    ).select("conv_id", "simhash", "band.band_id", "band.band_val")
 
-    # hot-bucket cap: count per key, quarantine oversized
     sized = bands.withColumn(
         "bucket_n",
-        F.count("*").over(Window.partitionBy("n_turns", "band_id", "band_val")),
+        F.count("*").over(Window.partitionBy("band_id", "band_val")),
     )
     capped = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-
-    a = capped.alias("a")
-    b = capped.alias("b")
+    a, b = capped.alias("a"), capped.alias("b")
     return (
         a.join(
             b,
             on=[
-                F.col("a.n_turns") == F.col("b.n_turns"),
                 F.col("a.band_id") == F.col("b.band_id"),
                 F.col("a.band_val") == F.col("b.band_val"),
                 F.col("a.conv_id") < F.col("b.conv_id"),
@@ -144,8 +157,29 @@ def candidate_pairs(
         .select(
             F.col("a.conv_id").alias("conv_a"),
             F.col("b.conv_id").alias("conv_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
         )
         .distinct()
+    )
+
+
+def simhash_pairs(
+    conv_texts: DataFrame,
+    bit_threshold: int = 3,
+    max_bucket: int = 512,
+) -> DataFrame:
+    """(conv_a, conv_b) with simhash bit distance <= bit_threshold.
+    Recall 1.0 for the bit-distance relation (pigeonhole banding + exact
+    bit_count verify, both deterministic)."""
+    sims = conversation_simhashes(conv_texts)
+    cands = candidate_pairs(sims, bit_threshold, max_bucket)
+    return (
+        cands.where(
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            <= bit_threshold
+        )
+        .select("conv_a", "conv_b")
     )
 
 
@@ -156,7 +190,8 @@ def verify_hamming_pairs(
 
     dup <=> same n_turns AND every aligned turn has equal length and
     Hamming <= d (reference comparator semantics, all-turns conjunction
-    /root/reference/src/comparator.cpp:84-91).
+    /root/reference/src/comparator.cpp:84-91). Used by hamming_exact and
+    as the optional reference-parity re-verify after simhash banding.
     """
     a = conv_texts.select(
         F.col("conv_id").alias("conv_a"), F.col("texts").alias("texts_a")
@@ -164,7 +199,7 @@ def verify_hamming_pairs(
     b = conv_texts.select(
         F.col("conv_id").alias("conv_b"), F.col("texts").alias("texts_b")
     )
-    joined = candidates.join(a, "conv_a").join(b, "conv_b")
+    joined = candidates.select("conv_a", "conv_b").join(a, "conv_a").join(b, "conv_b")
     per_turn_ok = (
         "zip_with(texts_a, texts_b, (x, y) -> "
         "  CASE WHEN length(x) != length(y) THEN false "
@@ -177,15 +212,3 @@ def verify_hamming_pairs(
         .where(F.expr(f"forall({per_turn_ok}, ok -> ok)"))
         .select("conv_a", "conv_b")
     )
-
-
-def simhash_pairs(
-    transcripts: DataFrame,
-    conv_texts: DataFrame,
-    d: int = 2,
-    bit_threshold: int = 7,
-    max_bucket: int = 2000,
-) -> DataFrame:
-    """End-to-end: banding -> candidates -> exact verify."""
-    cands = candidate_pairs(transcripts, bit_threshold, max_bucket)
-    return verify_hamming_pairs(conv_texts, cands, d)

@@ -1,0 +1,117 @@
+"""spark-submit entrypoint for the transcript dedup pipeline.
+
+Usage (cluster):
+  spark-submit --py-files fastq_dupaway_spark.zip jobs/run_dedup.py \
+      --input /path/transcripts.parquet --output /path/out \
+      --detectors exact,minhash,simhash --checkpoint /path/ckpt \
+      --write-clusters
+
+CLI surface mirrors the reference driver
+(/root/reference/src/main.cpp:40-179, C1 in SURVEY.md §2.8):
+
+  reference                       | here
+  --------------------------------|--------------------------------
+  -i/-u input file(s)             | --input table/parquet path (+ --input2
+                                  |   for per-turn streams needing resync)
+  -o/-p output file(s)            | --output dir (survivors table)
+  --compare-seq tight|loose|      | --parity tight|loose|hamming
+    tail-hamming                  |   (reference run semantics) or
+                                  |   --detectors exact,hamming,simhash,minhash
+  --distance N                    | --distance N
+  --fast                          | --detectors exact (hash mode IS the
+                                  |   exact detector; no sort pass exists)
+  --unordered                     | --input2 + automatic conv_id re-sync
+  --write-clusters                | --write-clusters
+  --mem-limit MB                  | (Spark memory conf; not a job arg)
+  invalid combos                  | argparse errors, matching C1 guards
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="transcript near-dup pipeline")
+    p.add_argument("--input", required=True, help="transcripts parquet/table path")
+    p.add_argument(
+        "--input2",
+        help="second per-turn stream (reference --unordered mode): rows are "
+        "re-synced on conv_id before dedup",
+    )
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument(
+        "--detectors",
+        default="exact",
+        help="comma list: exact,hamming,simhash,minhash",
+    )
+    p.add_argument(
+        "--parity",
+        choices=["tight", "loose", "hamming"],
+        help="reference run-semantics mode (mutually exclusive with --detectors)",
+    )
+    p.add_argument("--distance", type=int, default=2, help="hamming distance d")
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--checkpoint", help="stage checkpoint root (resumable)")
+    p.add_argument("--write-clusters", action="store_true")
+    p.add_argument("--cpus", type=int, default=None)
+    args = p.parse_args(argv)
+    if args.parity and args.detectors != "exact":
+        p.error("--parity and --detectors are mutually exclusive "
+                "(reference guard: mode conflicts, src/main.cpp:147-164)")
+    if args.input2 == args.input:
+        p.error("--input and --input2 must differ "
+                "(reference guard: same-file, src/main.cpp:102-108)")
+    unknown = {d.strip() for d in args.detectors.split(",") if d.strip()} - {
+        "exact", "hamming", "simhash", "minhash"
+    }
+    if unknown:
+        p.error(f"unknown detectors: {sorted(unknown)}")
+    return args
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from fastq_dupaway_spark.pipeline import DedupConfig, run_pipeline
+    from fastq_dupaway_spark.resync import resync_streams
+    from fastq_dupaway_spark.session import get_spark
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = get_spark(parallelism=args.cpus, app_name="run-dedup")
+    t = spark.read.parquet(args.input)
+    if args.input2:
+        t = resync_streams(t, spark.read.parquet(args.input2))
+
+    dets = {d.strip() for d in args.detectors.split(",") if d.strip()}
+    cfg = DedupConfig(
+        exact="exact" in dets,
+        hamming_exact="hamming" in dets,
+        simhash="simhash" in dets,
+        minhash="minhash" in dets,
+        parity_mode=args.parity,
+        hamming_d=args.distance,
+        jaccard_threshold=args.jaccard,
+    )
+    res = run_pipeline(t, cfg, checkpoint_root=args.checkpoint)
+    res.survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
+    if args.write_clusters:
+        res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    n_surv = res.clusters.where(
+        F.col("conv_id") == F.col("rep_conv_id")
+    ).count()
+    n_all = res.clusters.count()
+    # the reference's --verbose counters (src/seq_dup_remover.hpp:107-108)
+    print(f"tot_convs={n_all} dup_convs={n_all - n_surv} survivors={n_surv}")
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

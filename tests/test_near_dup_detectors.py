@@ -1,0 +1,128 @@
+"""MinHash / SimHash / exact-Hamming detectors: recall + precision vs
+brute-force oracles on the generated corpus."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from fastq_dupaway_spark import corpus, oracle
+from fastq_dupaway_spark.canonicalize import conversation_texts
+from fastq_dupaway_spark.detectors.hamming_exact import hamming_pairs_exact
+from fastq_dupaway_spark.detectors.minhash import minhash_pairs
+
+
+def _brute_hamming_pairs(convs, d):
+    out = set()
+    for (ida, ta), (idb, tb) in combinations(convs, 2):
+        if oracle.conv_dup(ta, tb, "hamming", d):
+            out.add(tuple(sorted((ida, idb))))
+    return out
+
+
+def _shingles(turns, n=3):
+    out = set()
+    for t in turns:
+        toks = t.split(" ")
+        if len(toks) >= n:
+            out |= {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        else:
+            out.add(" ".join(toks))
+    return out
+
+
+def _brute_jaccard_pairs(convs, n, threshold):
+    sh = {cid: _shingles(turns, n) for cid, turns in convs}
+    out = set()
+    for ida, idb in combinations(sh, 2):
+        a, b = sh[ida], sh[idb]
+        j = len(a & b) / len(a | b)
+        if j >= threshold:
+            out.add(tuple(sorted((ida, idb))))
+    return out
+
+
+@pytest.fixture(scope="module")
+def gen_corpus():
+    return corpus.generate_corpus(seed=5, n_conv=100, dup_rate=0.5, hamming_d=2)
+
+
+def _spark_pairs(df):
+    return {tuple(sorted((r["conv_a"], r["conv_b"]))) for r in df.collect()}
+
+
+def test_hamming_exact_matches_brute_force(spark, gen_corpus):
+    t = corpus.conv_df(spark, gen_corpus)
+    ct = conversation_texts(t)
+    got = _spark_pairs(hamming_pairs_exact(t, ct, d=2))
+    want = _brute_hamming_pairs(gen_corpus, 2)
+    assert got == want  # recall 1.0 AND precision 1.0 (pigeonhole + verify)
+    assert len(want) > 5  # fixture actually plants hamming dups
+
+
+def test_simhash_banding_exactly_matches_bit_distance(spark, gen_corpus):
+    """Pigeonhole banding + bit_count verify == brute-force simhash
+    bit-distance relation (recall AND precision 1.0 for that relation)."""
+    from fastq_dupaway_spark.detectors.simhash import (
+        conversation_simhashes,
+        simhash_pairs,
+    )
+
+    t = corpus.conv_df(spark, gen_corpus)
+    ct = conversation_texts(t)
+    k = 3
+    got = _spark_pairs(simhash_pairs(ct, bit_threshold=k))
+    sims = {
+        r["conv_id"]: r["simhash"]
+        for r in conversation_simhashes(ct).collect()
+    }
+    want = {
+        tuple(sorted((a, b)))
+        for a, b in combinations(sims, 2)
+        if bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= k
+    }
+    assert got == want
+
+
+def test_simhash_catches_planted_near_dups(spark, gen_corpus):
+    """Char-Hamming-edited variants are structurally near-identical, so
+    conversation SimHash at a modest threshold must recall nearly all of
+    them; chaining the char-level verify restores exact precision."""
+    from fastq_dupaway_spark.detectors.simhash import (
+        simhash_pairs,
+        verify_hamming_pairs,
+    )
+
+    t = corpus.conv_df(spark, gen_corpus)
+    ct = conversation_texts(t)
+    want = _brute_hamming_pairs(gen_corpus, 2)
+    cands = simhash_pairs(ct, bit_threshold=8)
+    got = _spark_pairs(verify_hamming_pairs(ct, cands, d=2))
+    assert got <= want  # char verify => precision 1.0
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, f"simhash->char recall {recall}"
+
+
+def test_minhash_matches_brute_force_jaccard(spark, gen_corpus):
+    t = corpus.conv_df(spark, gen_corpus)
+    got = _spark_pairs(
+        minhash_pairs(t, n=3, k=128, n_bands=32, threshold=0.8)
+    )
+    want = _brute_jaccard_pairs(gen_corpus, 3, 0.8)
+    assert got <= want  # exact-Jaccard verify => precision 1.0
+    recall = len(got & want) / max(len(want), 1)
+    assert recall >= 0.99, f"minhash recall {recall}"
+    assert len(want) > 10
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """A boilerplate turn shared by many conversations must not explode
+    candidate generation when capped."""
+    convs = [(f"h{i:03d}", ["identical boilerplate greeting text here ok"]) for i in range(50)]
+    convs += [(f"u{i:03d}", [f"unique text {i} with words number {i * 7}"]) for i in range(20)]
+    t = corpus.conv_df(spark, convs)
+    pairs_capped = minhash_pairs(t, n=3, k=16, n_bands=4, threshold=0.8, max_bucket=10)
+    # the 50-way boilerplate bucket (size > 10) is quarantined
+    got = _spark_pairs(pairs_capped)
+    assert not any(a.startswith("h") and b.startswith("h") for a, b in got)

@@ -1,0 +1,105 @@
+"""Scaling-efficiency evidence: run the identical bench job at two
+parallelism levels (local[N] vs local[4N]) on the same input and report
+throughput at both plus efficiency = (T_N / T_4N) / 4.
+
+This is the in-sandbox stand-in for the north rule's N vs 4N *executor*
+scaling (no real multi-node cluster here — BASELINE.md documents the
+mapping). Each level runs in a fresh subprocess so JVM/thread-pool state
+cannot leak between levels.
+
+Usage: python tools/scaling_bench.py [N] [SF_DIR] [REPLICAS]
+Writes/updates BENCH/BASELINE.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_level(cpus: int, sf_dir: str, replicas: int) -> dict:
+    env = os.environ.copy()
+    env.update(
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        BENCH_REPLICAS=str(replicas),
+    )
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    low = run_level(n, sf_dir, replicas)
+    high = run_level(4 * n, sf_dir, replicas)
+    t_low, t_high = low["value"], high["value"]
+    efficiency = round((t_low / t_high) / 4, 3)
+    result = {
+        "metric": "scaling_efficiency_n_to_4n",
+        "value": efficiency,
+        "unit": "ratio",
+        "n": n,
+        "t_n_sec": t_low,
+        "t_4n_sec": t_high,
+        "throughput_n_turns_per_sec": low["turns_per_sec"],
+        "throughput_4n_turns_per_sec": high["turns_per_sec"],
+        "turns": low["turns"],
+        "sf_dir": sf_dir,
+        "replicas": replicas,
+        "queries_n": low["queries"],
+        "queries_4n": high["queries"],
+    }
+    print(json.dumps(result))
+
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    md = bench_dir / "BASELINE.md"
+    lines = [
+        "# BENCH/BASELINE — measured throughput + scaling efficiency",
+        "",
+        "Scaling criterion (BASELINE.json: efficiency >= 0.8 from N to 4N",
+        "executors) evidenced in-sandbox by the same job at two local[N]",
+        "parallelism levels on identical input (no real cluster available;",
+        "per BASELINE.md this is the driver-mandated stand-in).",
+        "",
+        f"- input: transcripts derived from `{sf_dir}` documents, x{replicas}",
+        f"  replicas = {low['turns']} turns / {low['convs']} conversations",
+        f"- suite: {', '.join(low['queries'])}",
+        "",
+        "| parallelism | suite wall (s) | turns/sec |",
+        "|---|---|---|",
+        f"| local[{n}] | {t_low} | {low['turns_per_sec']} |",
+        f"| local[{4 * n}] | {t_high} | {high['turns_per_sec']} |",
+        "",
+        f"**Scaling efficiency (T_N / T_4N) / 4 = {efficiency}**"
+        + ("  (target >= 0.8: MET)" if efficiency >= 0.8 else "  (target >= 0.8: NOT met)"),
+        "",
+        "Per-query seconds:",
+        "",
+        "| query | local[%d] | local[%d] |" % (n, 4 * n),
+        "|---|---|---|",
+    ]
+    for q in low["queries"]:
+        lines.append(f"| {q} | {low['queries'][q]} | {high['queries'][q]} |")
+    md.write_text("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

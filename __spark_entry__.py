@@ -101,6 +101,52 @@ def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-boundary substring containment (generalized loose mode) via the
+    prefix-blocked suffix join."""
+    from fastq_dupaway_spark.detectors.containment import containment_pairs
+
+    t = build_transcripts(spark, sf_dir)
+    ct = conversation_texts(t)
+    return containment_pairs(ct).orderBy("conv_a", "conv_b")
+
+
+def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", TX.lang_guess(F.col("text")).alias("lang_guess")
+    ).orderBy("doc_id")
+
+
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth: TPC-H Q1-style aggregate (exact-representable sums only,
+    so the cross-engine value hash is stable)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth: ranking window over the events stream table."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+        .orderBy("user_id", "rn")
+    )
+
+
 def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     c = F.col("text")
@@ -165,9 +211,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_pairs": _q_hamming_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "near_dup_components": _q_near_dup_components,
+        "containment_pairs": _q_containment_pairs,
         "token_stats": _q_token_stats,
         "quality": _q_quality,
+        "lang_guess": _q_lang_guess,
         "ann_topk": _q_ann_topk,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "user_event_seq": _q_user_event_seq,
         # rows-only checks (no oracle entry):
         "simhash_pairs": _q_simhash_pairs,
         "hamming_parity_clusters": _q_hamming_parity_clusters,
@@ -331,6 +381,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS conv_id, rep AS rep_conv_id FROM cc
             ORDER BY conv_id
+        """,
+        "containment_pairs": _T + """
+            , ctexts AS (
+                SELECT conv_id,
+                       string_agg(text, chr(31) ORDER BY turn_idx) AS full_text
+                FROM transcripts GROUP BY conv_id
+            ),
+            sfx AS (
+                SELECT a.conv_id AS container_id,
+                       string_agg(b.text, chr(31) ORDER BY b.turn_idx) AS suffix
+                FROM transcripts a
+                JOIN transcripts b
+                  ON a.conv_id = b.conv_id AND b.turn_idx >= a.turn_idx
+                GROUP BY a.conv_id, a.turn_idx
+            )
+            SELECT DISTINCT
+                   least(n.conv_id, s.container_id) AS conv_a,
+                   greatest(n.conv_id, s.container_id) AS conv_b
+            FROM ctexts n JOIN sfx s
+              ON n.conv_id != s.container_id
+             AND starts_with(s.suffix, n.full_text)
+            ORDER BY conv_a, conv_b
+        """,
+        "lang_guess": """
+            WITH toks AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN len(list_filter(t, x -> x IN ('der','und','nicht','das'))) > 0 THEN 'de'
+                     WHEN len(list_filter(t, x -> x IN ('le','la','et','les'))) > 0 THEN 'fr'
+                     WHEN len(list_filter(t, x -> x IN ('el','los','que','para'))) > 0 THEN 'es'
+                     WHEN len(list_filter(t, x -> x IN ('的','是','了'))) > 0 THEN 'zh'
+                     ELSE 'en'
+                   END AS lang_guess
+            FROM toks ORDER BY doc_id
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "user_event_seq": """
+            SELECT user_id, event_id, rn FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 3 ORDER BY user_id, rn
         """,
         "token_stats": """
             SELECT doc_id,

@@ -37,9 +37,16 @@ from fastq_dupaway_spark.session import get_spark
 
 
 def replicated_transcripts(spark, sf_dir: str, replicas: int):
-    """Deterministic xN corpus: replica r gets a ' #r<r>' token appended to
-    its turn-0 text, so replicas do not exact-dup each other while every
-    planted intra-replica dup relation is preserved."""
+    """Deterministic xN corpus preserving intra-replica dup structure while
+    making replicas mutually UNRELATED (work must scale ~linearly in
+    replicas, not quadratically):
+
+    a replica tag token is interleaved between every pair of original
+    tokens (space -> ' q<r> '): every word 3-gram then contains the tag,
+    so cross-replica Jaccard is 0; tags are equal-length across replicas,
+    so cross-replica char-Hamming is ~#tokens >> d; prefixes can't match
+    across replicas either. Within a replica every planted relation is
+    preserved (the rewrite is uniform)."""
     t = build_transcripts(spark, sf_dir)
     if replicas <= 1:
         return t
@@ -52,12 +59,9 @@ def replicated_transcripts(spark, sf_dir: str, replicas: int):
             ),
             "turn_idx",
             "role",
-            F.when(
-                F.col("turn_idx") == 0,
-                F.concat(F.col("text"), F.lit(" #r"), F.col("replica")),
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
+            F.expr("replace(text, ' ', concat(' q', replica, ' '))").alias(
+                "text"
+            ),
             "tool",
         )
     )
@@ -67,11 +71,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     replicas = int(os.environ.get("BENCH_REPLICAS", "8"))
+    # constant work decomposition across parallelism levels: the scaling
+    # comparison (local[N] vs local[4N]) must run the IDENTICAL job —
+    # only executor threads may differ
+    partitions = int(os.environ.get("BENCH_PARTITIONS", "128"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    spark = get_spark(parallelism=cpus, app_name="bench")
+    spark = get_spark(
+        parallelism=cpus, app_name="bench", shuffle_partitions=partitions
+    )
     t = replicated_transcripts(spark, sf_dir, replicas)
-    t = t.repartition(cpus * 2).persist()
+    t = t.repartition(partitions).persist()
     n_turns = t.count()
     n_convs = t.select("conv_id").distinct().count()
     ct = conversation_texts(t).persist()
@@ -88,6 +98,7 @@ def main() -> None:
         t0 = time.monotonic()
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     run(
         "exact_dedup",
@@ -97,7 +108,7 @@ def main() -> None:
     )
     run(
         "parity_loose",
-        lambda: parity_clusters(ct, "loose", num_partitions=cpus * 2)
+        lambda: parity_clusters(ct, "loose", num_partitions=partitions)
         .where(F.col("conv_id") != F.col("rep_conv_id"))
         .count(),
     )
@@ -111,10 +122,26 @@ def main() -> None:
     )
 
     def minhash_cc():
-        pairs = minhash_pairs(t, n=3, k=128, n_bands=16, threshold=0.8)
+        # staged materialization — exactly how the checkpointed pipeline
+        # executes (each stage lands in a table); a single lazy DAG here
+        # recomputes the shared shingle table and invites AQE replans
+        from fastq_dupaway_spark.detectors import minhash as mh
+
+        sh = mh.shingle_hashes(t, 3).persist()
+        sh.count()
+        sigs = mh.minhash_signatures(sh, 128).persist()
+        sigs.count()
+        cands = mh.lsh_candidates(sigs, 16).persist()
+        cands.count()
+        pairs = mh.verify_jaccard_pairs(sh, cands, 0.8).select(
+            "conv_a", "conv_b"
+        ).persist()
+        pairs.count()
         clusters_with_singletons(ct.select("conv_id"), pairs).where(
             F.col("conv_id") != F.col("rep_conv_id")
         ).count()
+        for df in (sh, sigs, cands, pairs):
+            df.unpersist()
 
     run("minhash_lsh_cc", minhash_cc)
 

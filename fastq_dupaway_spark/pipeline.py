@@ -22,6 +22,7 @@ from .canonicalize import conversation_texts
 from .checkpoints import CheckpointStore
 from .clustering import clusters_with_singletons
 from .detectors import exact
+from .detectors.containment import containment_pairs
 from .detectors.hamming_exact import hamming_pairs_exact
 from .detectors.minhash import minhash_pairs
 from .detectors.parity_scan import parity_clusters
@@ -36,6 +37,7 @@ class DedupConfig:
     minhash: bool = False
     simhash: bool = False
     hamming_exact: bool = False
+    containment: bool = False
     # parity_mode: None | 'tight' | 'loose' | 'hamming' — run the
     # reference-run-semantics scan INSTEAD of transitive detectors
     parity_mode: str | None = None
@@ -108,6 +110,13 @@ def run_pipeline(
                     lambda: hamming_pairs_exact(
                         transcripts, ct, config.hamming_d, config.max_bucket
                     ),
+                )
+            )
+        if config.containment:
+            pair_sets.append(
+                stage(
+                    "containment_pairs",
+                    lambda: containment_pairs(ct, config.max_bucket),
                 )
             )
         if config.simhash:

@@ -47,7 +47,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument(
         "--detectors",
         default="exact",
-        help="comma list: exact,hamming,simhash,minhash",
+        help="comma list: exact,hamming,simhash,minhash,containment",
     )
     p.add_argument(
         "--parity",
@@ -67,7 +67,7 @@ def parse_args(argv=None) -> argparse.Namespace:
         p.error("--input and --input2 must differ "
                 "(reference guard: same-file, src/main.cpp:102-108)")
     unknown = {d.strip() for d in args.detectors.split(",") if d.strip()} - {
-        "exact", "hamming", "simhash", "minhash"
+        "exact", "hamming", "simhash", "minhash", "containment"
     }
     if unknown:
         p.error(f"unknown detectors: {sorted(unknown)}")
@@ -95,6 +95,7 @@ def main(argv=None) -> None:
         hamming_exact="hamming" in dets,
         simhash="simhash" in dets,
         minhash="minhash" in dets,
+        containment="containment" in dets,
         parity_mode=args.parity,
         hamming_d=args.distance,
         jaccard_threshold=args.jaccard,

@@ -1,0 +1,88 @@
+"""Containment detector vs brute-force turn-boundary substring oracle."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from fastq_dupaway_spark import corpus
+from fastq_dupaway_spark.canonicalize import conversation_texts
+from fastq_dupaway_spark.detectors.containment import (
+    containment_pairs,
+    prefix_containment_pairs,
+)
+
+_US = "\x1f"
+
+
+def _brute_containment(convs):
+    out = set()
+    texts = {cid: _US.join(t) for cid, t in convs}
+    suffixes = {
+        cid: [_US.join(t[k:]) for k in range(len(t))] for cid, t in convs
+    }
+    for (a, _), (b, _) in combinations(convs, 2):
+        if any(s.startswith(texts[a]) for s in suffixes[b]) or any(
+            s.startswith(texts[b]) for s in suffixes[a]
+        ):
+            out.add(tuple(sorted((a, b))))
+    return out
+
+
+def _brute_prefix(convs):
+    out = set()
+    texts = {cid: _US.join(t) for cid, t in convs}
+    for (a, _), (b, _) in combinations(convs, 2):
+        if texts[b].startswith(texts[a]) or texts[a].startswith(texts[b]):
+            out.add(tuple(sorted((a, b))))
+    return out
+
+
+def _pairs(df):
+    return {tuple(sorted((r["conv_a"], r["conv_b"]))) for r in df.collect()}
+
+
+def test_containment_matches_brute_force(spark):
+    convs = [
+        ("c1", ["alpha beta", "gamma delta"]),
+        ("c2", ["gamma delta"]),                       # == suffix(c1, 1)
+        ("c3", ["alpha beta", "gamma delta", "eps"]),  # c1 prefix of c3
+        ("c4", ["beta gamma"]),                        # no turn-aligned hit
+        ("c5", ["alpha beta"]),                        # prefix of c1/c3
+        ("c6", ["zzz unrelated text entirely"]),
+    ]
+    got = _pairs(containment_pairs(conversation_texts(corpus.conv_df(spark, convs))))
+    want = _brute_containment(convs)
+    assert got == want
+    assert ("c1", "c2") in got and ("c1", "c3") in got and ("c1", "c5") in got
+    assert not any("c4" in p for p in got)
+
+
+def test_containment_on_generated_corpus(spark):
+    convs = corpus.generate_corpus(seed=17, n_conv=80, dup_rate=0.5)
+    ct = conversation_texts(corpus.conv_df(spark, convs))
+    assert _pairs(containment_pairs(ct)) == _brute_containment(convs)
+
+
+def test_prefix_containment_matches_reference_relation(spark):
+    convs = corpus.FIXTURES["single_loose"]
+    ct = conversation_texts(corpus.conv_df(spark, convs))
+    got = _pairs(prefix_containment_pairs(ct))
+    assert got == _brute_prefix(convs)
+    assert got == {
+        ("00001", "00002"),
+        ("00001", "00004"),
+        ("00002", "00004"),
+    }
+
+
+def test_short_needle_recall(spark):
+    """Needles shorter than the block width must still be found."""
+    convs = [
+        ("n1", ["ab"]),
+        ("n2", ["ab", "very long second turn goes here beyond width"]),
+        ("n3", ["cd"]),
+    ]
+    ct = conversation_texts(corpus.conv_df(spark, convs))
+    got = _pairs(containment_pairs(ct))
+    assert ("n1", "n2") in got
+    assert not any("n3" in p for p in got)

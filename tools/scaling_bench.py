@@ -22,22 +22,30 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_level(cpus: int, sf_dir: str, replicas: int) -> dict:
+def run_level(cpus: int, sf_dir: str, replicas: int, reps: int = 2) -> dict:
+    """Best-of-reps: the sandbox VM shows 2-4x run-to-run noise on
+    identical configs (shared-host jitter), so each level runs `reps`
+    times and the minimum wall time is the measurement."""
     env = os.environ.copy()
     env.update(
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_REPLICAS=str(replicas),
     )
-    out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    best = None
+    for _ in range(reps):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        res = json.loads(line)
+        if best is None or res["value"] < best["value"]:
+            best = res
+    return best
 
 
 def main() -> None:

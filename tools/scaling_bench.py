@@ -25,7 +25,12 @@ REPO = Path(__file__).resolve().parent.parent
 def run_level(cpus: int, sf_dir: str, replicas: int, reps: int = 2) -> dict:
     """Best-of-reps: the sandbox VM shows 2-4x run-to-run noise on
     identical configs (shared-host jitter), so each level runs `reps`
-    times and the minimum wall time is the measurement."""
+    times and the minimum wall time is the measurement.
+
+    Each level is confined to exactly `cpus` physical cores with taskset —
+    plain local[N] would let GC/JIT/python workers spill onto the other
+    idle cores, making the small-N leg unfairly fast and understating the
+    true N->4N scaling of an N-machine-slice executor."""
     env = os.environ.copy()
     env.update(
         SPARK_GRAFT_CPUS=str(cpus),
@@ -35,7 +40,7 @@ def run_level(cpus: int, sf_dir: str, replicas: int, reps: int = 2) -> dict:
     best = None
     for _ in range(reps):
         out = subprocess.run(
-            [sys.executable, str(REPO / "bench.py")],
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, str(REPO / "bench.py")],
             env=env,
             capture_output=True,
             text=True,

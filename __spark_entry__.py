@@ -248,13 +248,18 @@ t0 AS (
     FROM transcripts t JOIN nt USING (conv_id) WHERE t.turn_idx = 0
 ),
 chunks AS (
+    -- len0 > d: all d+1 chunks have width >= 1; len0 <= d: one sentinel
+    -- block on (n_turns, len0) alone (same-length shorts are trivially
+    -- within Hamming d) — mirrors detectors/hamming_exact._chunk_blocks
     SELECT conv_id, n_turns, len0, k AS chunk_id,
            substr(text, CAST(floor(k * len0 / 3) AS INTEGER) + 1,
                   CAST(floor((k + 1) * len0 / 3) AS INTEGER)
                   - CAST(floor(k * len0 / 3) AS INTEGER)) AS chunk_text
     FROM t0, LATERAL unnest(range(3)) AS u(k)
-    WHERE CAST(floor((k + 1) * len0 / 3) AS INTEGER)
-          > CAST(floor(k * len0 / 3) AS INTEGER)
+    WHERE len0 > 2
+    UNION ALL
+    SELECT conv_id, n_turns, len0, -1 AS chunk_id, '' AS chunk_text
+    FROM t0 WHERE len0 <= 2
 ),
 cand AS (
     SELECT DISTINCT a.conv_id AS conv_a, b.conv_id AS conv_b

@@ -2,15 +2,22 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "dedup_total", "value": <sec>, "unit": "sec",
+  {"metric": "dedup_suite_total", "value": <sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>, "turns": N,
-   "turns_per_sec": ...}
+   "turns_per_sec": N/total, "recall_planted": r, "cc_rounds": k}
 
 The transcripts input is derived deterministically from documents.parquet
 (corpus.build_transcripts) and replicated BENCH_REPLICAS times (default 8)
-with a per-replica text perturbation, so dup structure scales linearly and
-no external data is used. Scaling-efficiency runs (local[N] vs local[4N])
-use tools/scaling_bench.py which shells out to this file.
+with a per-replica text rewrite, so dup structure scales linearly and no
+external data is used. A planted HOT cluster (1/73 of conversations
+rewritten to one constant boilerplate text, NOT replica-tagged) exercises
+the hot-bucket salting path in every detector at bench scale (SURVEY.md
+§7.3.4). `recall_planted` measures dup-pair recall of the detector union
+against the derivation's planted relations — the BASELINE.json headline
+correctness metric (>= 0.99).
+
+Scaling-efficiency runs (local[N] vs local[4N]) use tools/scaling_bench.py
+which shells out to this file.
 """
 
 from __future__ import annotations
@@ -29,11 +36,30 @@ from fastq_dupaway_spark.canonicalize import conversation_texts
 from fastq_dupaway_spark.clustering import clusters_with_singletons
 from fastq_dupaway_spark.corpus import build_transcripts
 from fastq_dupaway_spark.detectors import exact
+from fastq_dupaway_spark.detectors.containment import containment_pairs
 from fastq_dupaway_spark.detectors.hamming_exact import hamming_pairs_exact
-from fastq_dupaway_spark.detectors.minhash import minhash_pairs
+from fastq_dupaway_spark.detectors.minhash import (
+    lsh_candidates,
+    minhash_signatures,
+    shingle_hashes,
+    verify_jaccard_pairs,
+)
 from fastq_dupaway_spark.detectors.parity_scan import parity_clusters
 from fastq_dupaway_spark.detectors.simhash import simhash_pairs
 from fastq_dupaway_spark.session import get_spark
+
+#: 1-in-HOT_MOD conversations are rewritten to this constant text (all
+#: turns), forming one giant near-dup cluster that overflows every
+#: detector's max_bucket — the planted hot key.
+HOT_MOD = 73
+HOT_TEXT = (
+    "standard boilerplate greeting how can i help you with that today "
+    "thanks for reaching out to support"
+)
+
+
+def _is_hot(col):
+    return F.pmod(F.xxhash64(col), F.lit(HOT_MOD)) == 0
 
 
 def replicated_transcripts(spark, sf_dir: str, replicas: int):
@@ -41,17 +67,23 @@ def replicated_transcripts(spark, sf_dir: str, replicas: int):
     making replicas mutually UNRELATED (work must scale ~linearly in
     replicas, not quadratically):
 
-    a replica tag token is interleaved between every pair of original
-    tokens (space -> ' q<r> '): every word 3-gram then contains the tag,
-    so cross-replica Jaccard is 0; tags are equal-length across replicas,
-    so cross-replica char-Hamming is ~#tokens >> d; prefixes can't match
-    across replicas either. Within a replica every planted relation is
-    preserved (the rewrite is uniform)."""
+    a replica tag token is prepended to every turn AND interleaved between
+    every pair of tokens (' ' -> ' q<r> '): every turn then differs across
+    replicas (including single-token and empty turns — round 1's
+    replace-only rewrite left those identical), every word 3-gram contains
+    the tag so cross-replica Jaccard is 0, tags are equal-length across
+    replicas so cross-replica char-Hamming is ~#tokens >> d, and prefixes
+    can't match across replicas. Within a replica every planted relation
+    is preserved (the rewrite is uniform).
+
+    EXCEPTION by design: the planted hot cluster (see HOT_MOD) is constant
+    across replicas — its work is bounded by the salted-bucket policy, not
+    by replica independence, which is exactly what it tests."""
     t = build_transcripts(spark, sf_dir)
     if replicas <= 1:
         return t
     r = spark.range(replicas).select(F.col("id").cast("int").alias("replica"))
-    return (
+    out = (
         t.crossJoin(F.broadcast(r))
         .select(
             F.concat_ws("#", "conv_id", F.col("replica").cast("string")).alias(
@@ -59,12 +91,51 @@ def replicated_transcripts(spark, sf_dir: str, replicas: int):
             ),
             "turn_idx",
             "role",
-            F.expr("replace(text, ' ', concat(' q', replica, ' '))").alias(
-                "text"
-            ),
+            F.expr(
+                "concat('q', replica, ' ', replace(text, ' ', concat(' q', replica, ' ')))"
+            ).alias("text"),
             "tool",
         )
     )
+    return out.withColumn(
+        "text", F.when(_is_hot(F.col("conv_id")), F.lit(HOT_TEXT)).otherwise(F.col("text"))
+    )
+
+
+def planted_pairs(spark, sf_dir: str, replicas: int):
+    """Ground-truth dup pairs from the derivation rules (corpus.py):
+    (d-0, d-1) exact for doc_id%3==0; (d-0, d-2) prefix-extension for
+    doc_id%5==0; (d-0, d-3) Hamming-1 for doc_id%7==0 when the edited char
+    exists and is not a space (the replica rewrite would otherwise shift
+    token boundaries). Pairs touching the planted hot cluster are excluded
+    (their text was overwritten)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    cid = lambda v: F.concat(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0"), F.lit(f"-{v}")
+    )
+    ex = docs.where(F.col("doc_id") % 3 == 0).select(
+        cid(0).alias("conv_a"), cid(1).alias("conv_b"), F.lit("exact").alias("kind")
+    )
+    ext = docs.where(F.col("doc_id") % 5 == 0).select(
+        cid(0).alias("conv_a"), cid(2).alias("conv_b"), F.lit("ext").alias("kind")
+    )
+    ham = (
+        docs.where(
+            (F.col("doc_id") % 7 == 0)
+            & (F.length("text") >= 12)
+            & (F.substring("text", 11, 1) != " ")
+        )
+        .select(cid(0).alias("conv_a"), cid(3).alias("conv_b"), F.lit("ham").alias("kind"))
+    )
+    pairs = ex.unionByName(ext).unionByName(ham)
+    if replicas > 1:
+        r = spark.range(replicas).select(F.col("id").cast("int").alias("replica"))
+        pairs = pairs.crossJoin(F.broadcast(r)).select(
+            F.concat_ws("#", "conv_a", F.col("replica").cast("string")).alias("conv_a"),
+            F.concat_ws("#", "conv_b", F.col("replica").cast("string")).alias("conv_b"),
+            "kind",
+        )
+    return pairs.where(~_is_hot(F.col("conv_a")) & ~_is_hot(F.col("conv_b")))
 
 
 def main() -> None:
@@ -74,7 +145,7 @@ def main() -> None:
     # constant work decomposition across parallelism levels: the scaling
     # comparison (local[N] vs local[4N]) must run the IDENTICAL job —
     # only executor threads may differ
-    partitions = int(os.environ.get("BENCH_PARTITIONS", "128"))
+    partitions = int(os.environ.get("BENCH_PARTITIONS", "64"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     spark = get_spark(
@@ -86,13 +157,12 @@ def main() -> None:
     n_convs = t.select("conv_id").distinct().count()
     ct = conversation_texts(t).persist()
     ct.count()
-    # prewarm the Python worker pool so the first pandas-UDF query is not
-    # charged ~30s of process spawn (steady-state timing)
-    from fastq_dupaway_spark.detectors.simhash import conversation_simhashes
-
-    conversation_simhashes(ct.limit(512)).count()
+    # prewarm the Python worker pool so the first pandas-UDF stage
+    # (minhash signatures) is not charged the process-spawn cost
+    minhash_signatures(shingle_hashes(t.limit(512), 3), k=8).count()
 
     timings: dict[str, float] = {}
+    found_pairs = {}  # detector pair DataFrames kept persisted for recall
 
     def run(name: str, fn) -> None:
         t0 = time.monotonic()
@@ -100,50 +170,84 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
-    run(
-        "exact_dedup",
-        lambda: exact.exact_clusters(t)
-        .where(F.col("conv_id") != F.col("rep_conv_id"))
-        .count(),
-    )
+    def exact_dedup():
+        ec = exact.exact_clusters(t).persist()
+        ec.where(F.col("conv_id") != F.col("rep_conv_id")).count()
+        found_pairs["exact"] = ec.where(
+            F.col("conv_id") != F.col("rep_conv_id")
+        ).select(
+            F.least("conv_id", "rep_conv_id").alias("conv_a"),
+            F.greatest("conv_id", "rep_conv_id").alias("conv_b"),
+        )
+
+    run("exact_dedup", exact_dedup)
     run(
         "parity_loose",
         lambda: parity_clusters(ct, "loose", num_partitions=partitions)
         .where(F.col("conv_id") != F.col("rep_conv_id"))
         .count(),
     )
-    run(
-        "hamming_pairs_exact",
-        lambda: hamming_pairs_exact(t, ct, d=2).count(),
-    )
+
+    def hamming():
+        p = hamming_pairs_exact(t, ct, d=2).persist()
+        p.count()
+        found_pairs["hamming"] = p
+
+    run("hamming_pairs_exact", hamming)
     run(
         "simhash_pairs",
         lambda: simhash_pairs(ct, bit_threshold=3).count(),
     )
 
-    def minhash_cc():
-        # staged materialization — exactly how the checkpointed pipeline
-        # executes (each stage lands in a table); a single lazy DAG here
-        # recomputes the shared shingle table and invites AQE replans
-        from fastq_dupaway_spark.detectors import minhash as mh
+    def containment():
+        p = containment_pairs(ct).persist()
+        p.count()
+        found_pairs["containment"] = p
 
-        sh = mh.shingle_hashes(t, 3).persist()
+    run("containment_pairs", containment)
+
+    cc_stats: dict = {}
+
+    def minhash_cc():
+        # persist ONLY the shingle table (it feeds both the signature and
+        # verify stages); signatures -> banding -> verify -> components run
+        # as one DAG whose first materialization is the CC edge checkpoint
+        # — round 1 staged 5 persist+count boundaries here and their serial
+        # driver time dominated the scaling loss
+        sh = shingle_hashes(t, 3).persist()
         sh.count()
-        sigs = mh.minhash_signatures(sh, 128).persist()
-        sigs.count()
-        cands = mh.lsh_candidates(sigs, 16).persist()
-        cands.count()
-        pairs = mh.verify_jaccard_pairs(sh, cands, 0.8).select(
+        sigs = minhash_signatures(sh, 128)
+        cands = lsh_candidates(sigs, 16)
+        pairs = verify_jaccard_pairs(sh, cands, 0.8).select(
             "conv_a", "conv_b"
         ).persist()
-        pairs.count()
-        clusters_with_singletons(ct.select("conv_id"), pairs).where(
-            F.col("conv_id") != F.col("rep_conv_id")
-        ).count()
-        for df in (sh, sigs, cands, pairs):
-            df.unpersist()
+        clusters_with_singletons(
+            ct.select("conv_id"), pairs, stats=cc_stats
+        ).where(F.col("conv_id") != F.col("rep_conv_id")).count()
+        found_pairs["minhash"] = pairs
+        sh.unpersist()
+        print(f"# cc_rounds: {cc_stats.get('cc_rounds')}", file=sys.stderr)
 
     run("minhash_lsh_cc", minhash_cc)
+
+    recall_holder = {}
+
+    def recall_planted():
+        expected = planted_pairs(spark, sf_dir, replicas)
+        found = None
+        for df in found_pairs.values():
+            found = df if found is None else found.unionByName(df)
+        found = found.distinct()
+        hit = expected.join(found, ["conv_a", "conv_b"], "left_semi").count()
+        total = expected.count()
+        recall_holder["recall"] = round(hit / max(total, 1), 5)
+        recall_holder["expected_pairs"] = total
+        print(
+            f"# recall_planted: {recall_holder['recall']} ({hit}/{total})",
+            file=sys.stderr,
+        )
+
+    run("recall_planted", recall_planted)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -158,7 +262,12 @@ def main() -> None:
                 "replicas": replicas,
                 "turns": n_turns,
                 "convs": n_convs,
-                "turns_per_sec": round(n_turns * len(timings) / total, 1),
+                # whole-suite throughput: turns divided by total wall time
+                # (round 1 multiplied by the query count — inflated 5x)
+                "turns_per_sec": round(n_turns / total, 1),
+                "recall_planted": recall_holder.get("recall"),
+                "expected_pairs": recall_holder.get("expected_pairs"),
+                "cc_rounds": cc_stats.get("cc_rounds"),
             }
         )
     )

@@ -12,13 +12,14 @@ round two shuffles, per-iteration localCheckpoint to truncate lineage
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """For each node u: connect every strictly-larger neighbor to the
-    minimum of N(u) ∪ {u}."""
+    minimum of N(u) ∪ {u}. Output may carry duplicate edges — the next
+    star's collect_set dedups them, so no distinct exchange here."""
     bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     grouped = bidir.groupBy("src").agg(
         F.collect_set("dst").alias("nbrs"),
@@ -31,13 +32,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("v") != F.col("m"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
     """Orient edges (src > dst); for each node u: connect u and all its
-    smaller neighbors to the minimum of that set."""
+    smaller neighbors to the minimum of that set. Output deduped by the
+    caller's per-round distinct (one exchange per round, not three)."""
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
@@ -52,49 +53,63 @@ def _small_star(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("v") != F.col("m"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
+def _observed_checkpoint(e: DataFrame, tag: str):
+    """Materialize an edge set with its set-fingerprint piggybacked on the
+    SAME job via df.observe (bit_xor is duplicate-cancelling, so it is only
+    a valid set fingerprint downstream of the distinct). One Spark job per
+    round — the driver-side serial fraction of the CC loop is the scaling
+    bottleneck at small parallelism, so no separate fingerprint action."""
+    obs = Observation(f"cc_fp_{tag}")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(xxhash64(greatest(src, dst), least(src, dst)))"
+        ).alias("h"),
+    )
+    ckpt = observed.localCheckpoint()
+    m = obs.get
+    return ckpt, (m["n"], m["h"])
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 50
+    pairs: DataFrame, max_iter: int = 50, stats: dict | None = None
 ) -> DataFrame:
     """pairs: (conv_a, conv_b) undirected edges. Returns (conv_id,
     rep_conv_id) for every node that appears in an edge, where rep is the
     component minimum (matching the exact detector's min-conv_id
     representative election).
 
-    Driver-side loop with a cheap fingerprint-based convergence check:
-    stop when the oriented edge set is a fixed point. Each iteration
-    localCheckpoints to keep lineage (and thus task binary size) bounded —
-    without it the plan doubles per round.
+    Driver-side loop, ONE job per round: distinct-edge fixed-point check
+    rides the round's localCheckpoint via df.observe instead of a separate
+    fingerprint action, and the stars themselves emit non-distinct edges
+    (collect_set dedups) so each round is exactly three exchanges
+    (large-star groupBy, small-star groupBy, distinct). localCheckpoint
+    truncates lineage — without it the plan doubles per round.
+
+    stats: optional dict; receives {"cc_rounds": r, "cc_edges": n}.
     """
-    edges = (
+    edges, prev = _observed_checkpoint(
         pairs.select(F.col("conv_a").alias("src"), F.col("conv_b").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "init",
     )
-
-    def fingerprint(e: DataFrame):
-        return (
-            e.select(
-                F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
-            )
-            .agg(
-                F.count("*").alias("n"),
-                F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-            )
-            .first()
+    rounds = 0
+    for i in range(max_iter):
+        edges, cur = _observed_checkpoint(
+            _small_star(_large_star(edges)).distinct(), str(i)
         )
-
-    prev = fingerprint(edges)
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
-        cur = fingerprint(edges)
-        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+        rounds += 1
+        if cur == prev:
             break
         prev = cur
+    if stats is not None:
+        stats["cc_rounds"] = rounds
+        stats["cc_edges"] = prev[0]
 
     # After convergence every edge is (node -> component min); nodes that
     # ARE the min appear only as dst. Emit both sides.
@@ -108,12 +123,12 @@ def connected_components(
 
 
 def clusters_with_singletons(
-    all_ids: DataFrame, pairs: DataFrame
+    all_ids: DataFrame, pairs: DataFrame, stats: dict | None = None
 ) -> DataFrame:
     """Full (conv_id, rep_conv_id) assignment: components from `pairs`
     plus rep=self for conversations untouched by any edge. all_ids must
     have a `conv_id` column."""
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, stats=stats)
     singles = all_ids.select("conv_id").join(
         comp.select("conv_id"), "conv_id", "left_anti"
     )

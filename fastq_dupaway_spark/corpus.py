@@ -257,6 +257,7 @@ transcripts AS (
         substr(text, CAST(k * {TURN_WIDTH} + 1 AS INTEGER), {TURN_WIDTH}) AS text,
         '' AS tool
     FROM convs, LATERAL unnest(range(CAST(n_turns AS BIGINT))) AS u(k)
+    WHERE n_turns >= 1
 )
 """
 
@@ -295,7 +296,10 @@ def build_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.length("text") / TURN_WIDTH).cast("int"), F.lit(MAX_TURNS)
         ).alias("n_turns"),
     )
-    return convs.select(
+    # n_turns >= 1 on BOTH sides: an empty document (n_turns = 0) must
+    # emit no rows — Spark's sequence(0, -1) would produce a descending
+    # [0, -1] where DuckDB's range(0) produces nothing
+    return convs.where(F.col("n_turns") >= 1).select(
         "conv_id",
         F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
         "text",

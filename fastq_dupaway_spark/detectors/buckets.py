@@ -1,0 +1,96 @@
+"""Hot-bucket policy shared by the candidate generators.
+
+Every near-dup detector blocks records into buckets (LSH band keys, simhash
+band values, Hamming chunk keys, containment prefix blocks) and self-joins
+within the bucket. A bucket of size B emits O(B^2) candidate pairs, so one
+boilerplate-heavy key at 10^12-turn scale would explode the join. Round 1
+silently DROPPED oversized buckets — a recall hole on exactly the skewed
+data the north rule names. The policy here instead:
+
+1. buckets <= max_bucket join normally (salt 0);
+2. larger buckets are SALTED into ceil(B / max_bucket) sub-buckets of
+   ~max_bucket rows via pmod(xxhash64(id, key...), S) — pair generation
+   becomes O(B * max_bucket), linear in B, and skew disappears (every
+   sub-bucket is bounded). Nothing is dropped.
+3. `hot_buckets` surfaces the over-cap keys + sizes as a small DataFrame —
+   the pipeline writes it to the checkpoint store as a quarantine table and
+   the manifest carries the counts (reference --verbose counter analog,
+   /root/reference/src/hash_dup_remover.hpp:342-346).
+
+Recall semantics (exact, stated — not hand-waved): PAIR recall within a hot
+bucket is limited to same-salt pairs (~1/S of the bucket's pairs per band).
+CLUSTER recall survives because the salt hash includes the band key, so
+each band cuts the same hot population DIFFERENTLY; the union of >= 2
+orthogonal cuts connects the whole population and connected components
+re-merges it. Detectors with a single blocking family at a given key
+(containment) document the residual. Buckets are never silently lost:
+`hot_buckets` reports every one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_salt(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """Add a `salt` column: 0 for rows in buckets of <= max_bucket rows,
+    else pmod(xxhash64(id, keys...), ceil(bucket_n / max_bucket)).
+
+    Self-joins must add `salt` to the equi-join key. Including the key
+    columns in the salt hash makes different bands cut a hot population
+    along different boundaries (see module docstring).
+    """
+    sized = df.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    )
+    n_salts = F.ceil(F.col("bucket_n") / F.lit(max_bucket))
+    return sized.withColumn(
+        "salt",
+        F.when(F.col("bucket_n") <= max_bucket, F.lit(0))
+        .otherwise(
+            F.pmod(F.xxhash64(F.col(id_col), *key_cols), n_salts)
+        )
+        .cast("int"),
+    ).drop("bucket_n")
+
+
+def salted_self_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Within-bucket self-join -> (conv_a, conv_b [, carry_a.., carry_b..])
+    with conv_a < conv_b, under the salted hot-bucket policy."""
+    salted = with_salt(df, key_cols, id_col, max_bucket)
+    a, b = salted.alias("a"), salted.alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    cond.append(F.col("a.salt") == F.col("b.salt"))
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cols = [
+        F.col(f"a.{id_col}").alias("conv_a"),
+        F.col(f"b.{id_col}").alias("conv_b"),
+    ]
+    for c in carry_cols or []:
+        cols.append(F.col(f"a.{c}").alias(f"{c}_a"))
+        cols.append(F.col(f"b.{c}").alias(f"{c}_b"))
+    return a.join(b, on=cond).select(*cols).distinct()
+
+
+def hot_buckets(
+    df: DataFrame, key_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """(key_cols..., bucket_n) for every over-cap bucket — the quarantine
+    surface. groupBy (map-side combine), not a window: stats-only pass."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket)
+    )

@@ -13,19 +13,29 @@ k turns contributes k suffixes, so the suffix table is exactly |turns|
 rows — the scalable discretization of a generalized suffix array (the
 classic char-level SA would be |total_bytes| rows).
 
-Candidate generation is a prefix-blocked equi-join, not a sort-adjacency
-scan, so it parallelizes with no sequential stitching:
+Candidate generation is a prefix-blocked equi-join carrying ONLY ids and
+64-bit block hashes — no text flows through the blocking exchange (round 1
+shipped each suffix string 16x through the shuffle; this design ships
+16 fixed-width rows per suffix and joins text back exactly once for the
+verify):
 
-  suffix side:  for each turn-boundary suffix S, emit (k, S[:k]) for
-                k in 1..PREFIX_LEN  (PREFIX_LEN rows per suffix)
-  needle side:  each conversation's full text P emits ONE row
-                (min(len(P), PREFIX_LEN), P[:...])
-  join on (k, prefix) -> verify startswith(S, P) exactly, JVM-side.
+  suffix side:  for suffix S at turn boundary t of container C, emit
+                (C, t, ph) where ph = xxhash64(k, S[:k]) for k in
+                1..min(len(S), PREFIX_LEN)
+  needle side:  needle P emits ONE row (conv_id, ph) with
+                k = min(len(P), PREFIX_LEN)
+  join on ph -> candidates (needle, container, t) -> join text back once
+  and verify startswith(suffix(C, t), P) exactly, JVM-side.
 
 Any P with len <= PREFIX_LEN matches its full text in the block key, so
-recall is 1.0; longer needles share their 1..PREFIX_LEN-char block with
-few suffixes (prefix entropy), AQE splits the skewed ones, and hot blocks
-are capped + surfaced like every other detector.
+blocking recall is 1.0 (a 64-bit ph collision can only ADD a false
+candidate, removed by the verify). Hot blocks (a prefix shared by many
+suffixes) are salted into bounded sub-buckets with the needle row
+replicated across salts — recall stays 1.0, skew is defused, and hot keys
+are surfaced by containment_hot_buckets. Join OUTPUT volume for a hot
+block is needle-count x bucket-size, which is the size of the true
+relation being asked for (a 1-char needle genuinely is contained in a
+quarter of the corpus) — intrinsic, not overhead.
 """
 
 from __future__ import annotations
@@ -33,33 +43,135 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: block key width: join fan-out is |turns| * PREFIX_LEN rows
+from .buckets import hot_buckets
+
+#: block key width: blocking fan-out is |turns| * PREFIX_LEN id-only rows
 PREFIX_LEN = 16
 
 #: separator between turns inside canonical conversation text; \x1f sorts
-#: below printable chars and cannot appear in transcript tokens
+#: below printable chars and is excluded from transcript text by the
+#: canonicalize.quarantine stage (P9).
 _US = "\x1f"
 
 
-def _conv_text(conv_texts: DataFrame) -> DataFrame:
+def _needles(conv_texts: DataFrame) -> DataFrame:
+    """(conv_id, full_text, ph): one probe row per conversation."""
     return conv_texts.select(
         "conv_id", F.concat_ws(_US, "texts").alias("full_text")
+    ).select(
+        "conv_id",
+        "full_text",
+        F.xxhash64(
+            F.least(F.length("full_text"), F.lit(PREFIX_LEN)),
+            F.substring("full_text", 1, PREFIX_LEN),
+        ).alias("ph"),
     )
 
 
-def turn_suffixes(conv_texts: DataFrame) -> DataFrame:
-    """(conv_id, suffix): canonical text from each turn boundary on."""
+def _suffixes(conv_texts: DataFrame, all_boundaries: bool) -> DataFrame:
+    """(container_id, turn_k, suffix): canonical text from each turn
+    boundary (turn_k is 1-based); boundary 1 only when not all_boundaries."""
+    last = F.size("texts") if all_boundaries else F.lit(1)
     return conv_texts.select(
-        "conv_id",
+        F.col("conv_id").alias("container_id"),
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("texts")),
-                lambda k: F.concat_ws(
-                    _US, F.slice("texts", k, F.size("texts") - k + 1)
+                F.sequence(F.lit(1), last),
+                lambda k: F.struct(
+                    k.alias("turn_k"),
+                    F.concat_ws(
+                        _US, F.slice("texts", k, F.size("texts") - k + 1)
+                    ).alias("suffix"),
                 ),
             )
-        ).alias("suffix"),
+        ).alias("s"),
+    ).select("container_id", "s.turn_k", "s.suffix")
+
+
+def _suffix_blocks(suffixes: DataFrame) -> DataFrame:
+    """(container_id, turn_k, ph) id-only blocking rows: PREFIX_LEN hashes
+    per suffix, computed where the suffix row lives (narrow — the suffix
+    string itself never enters the blocking exchange)."""
+    return suffixes.select(
+        "container_id",
+        "turn_k",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.length("suffix"), F.lit(PREFIX_LEN))
+                ),
+                lambda k: F.xxhash64(k, F.substring("suffix", 1, k)),
+            )
+        ).alias("ph"),
     )
+
+
+def _contained_pairs(
+    conv_texts: DataFrame, all_boundaries: bool, max_bucket: int
+) -> DataFrame:
+    needles = _needles(conv_texts)
+    blocks = _suffix_blocks(_suffixes(conv_texts, all_boundaries))
+
+    sized = blocks.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("ph"))
+    )
+    salted = sized.withColumn(
+        "n_salts", F.ceil(F.col("bucket_n") / max_bucket).cast("int")
+    ).select(
+        "container_id",
+        "turn_k",
+        "ph",
+        F.when(F.col("n_salts") <= 1, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("container_id", "ph"), F.col("n_salts")))
+        .cast("int")
+        .alias("salt"),
+    )
+    # replicate each needle across the salts of its (hot) block so no
+    # (needle, container) pair is lost; non-hot blocks cost one row
+    hot_dim = (
+        hot_buckets(blocks, ["ph"], max_bucket)
+        .select(
+            "ph", F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
+        )
+    )
+    probes = (
+        needles.join(F.broadcast(hot_dim), "ph", "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)
+            ),
+        )
+        .select("conv_id", "full_text", "ph", "salt")
+    )
+
+    cands = (
+        probes.join(salted, ["ph", "salt"])
+        .where(F.col("conv_id") != F.col("container_id"))
+        .select("conv_id", "full_text", "container_id", "turn_k")
+    )
+    # verify: join container texts back ONCE, rebuild the suffix at turn_k,
+    # exact startswith (kills ph collisions and false prefix matches)
+    verified = (
+        cands.join(
+            conv_texts.select(
+                F.col("conv_id").alias("container_id"), "texts"
+            ),
+            "container_id",
+        )
+        .where(
+            F.concat_ws(
+                _US,
+                F.slice(
+                    "texts", F.col("turn_k"), F.size("texts") - F.col("turn_k") + 1
+                ),
+            ).startswith(F.col("full_text"))
+        )
+    )
+    return verified.select(
+        F.least("conv_id", "container_id").alias("conv_a"),
+        F.greatest("conv_id", "container_id").alias("conv_b"),
+    ).distinct()
 
 
 def containment_pairs(
@@ -68,43 +180,7 @@ def containment_pairs(
     """(conv_a, conv_b): conv_a's text occurs at a turn boundary of conv_b
     (conv_a != conv_b; equal-text conversations pair both ways reduced to
     a < b). Exact — blocking is lossless, verification is startswith."""
-    needles = _conv_text(conv_texts).select(
-        "conv_id",
-        "full_text",
-        F.substring("full_text", 1, PREFIX_LEN).alias("prefix"),
-        F.least(F.length("full_text"), F.lit(PREFIX_LEN)).alias("k"),
-    )
-    suffixes = turn_suffixes(conv_texts)
-    sfx_blocks = suffixes.select(
-        F.col("conv_id").alias("container_id"),
-        "suffix",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.least(F.length("suffix"), F.lit(PREFIX_LEN))
-                ),
-                lambda k: F.struct(
-                    k.alias("k"), F.substring("suffix", 1, k).alias("prefix")
-                ),
-            )
-        ).alias("b"),
-    ).select("container_id", "suffix", "b.k", "b.prefix")
-
-    sized = sfx_blocks.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("k", "prefix"))
-    )
-    capped = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-
-    return (
-        needles.join(capped, ["k", "prefix"])
-        .where(F.col("conv_id") != F.col("container_id"))
-        .where(F.col("suffix").startswith(F.col("full_text")))
-        .select(
-            F.least("conv_id", "container_id").alias("conv_a"),
-            F.greatest("conv_id", "container_id").alias("conv_b"),
-        )
-        .distinct()
-    )
+    return _contained_pairs(conv_texts, all_boundaries=True, max_bucket=max_bucket)
 
 
 def prefix_containment_pairs(
@@ -113,40 +189,16 @@ def prefix_containment_pairs(
     """Reference-loose relation only (needle is a PREFIX of the container,
     boundary 0): the transitive pair set matching
     /root/reference/src/comparator.cpp:60-63 semantics."""
-    first = conv_texts.select(
-        "conv_id", F.concat_ws(_US, "texts").alias("suffix")
-    )
-    needles = _conv_text(conv_texts).select(
-        "conv_id",
-        "full_text",
-        F.substring("full_text", 1, PREFIX_LEN).alias("prefix"),
-        F.least(F.length("full_text"), F.lit(PREFIX_LEN)).alias("k"),
-    )
-    sfx_blocks = first.select(
-        F.col("conv_id").alias("container_id"),
-        "suffix",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.least(F.length("suffix"), F.lit(PREFIX_LEN))
-                ),
-                lambda k: F.struct(
-                    k.alias("k"), F.substring("suffix", 1, k).alias("prefix")
-                ),
-            )
-        ).alias("b"),
-    ).select("container_id", "suffix", "b.k", "b.prefix")
-    sized = sfx_blocks.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("k", "prefix"))
-    )
-    capped = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-    return (
-        needles.join(capped, ["k", "prefix"])
-        .where(F.col("conv_id") != F.col("container_id"))
-        .where(F.col("suffix").startswith(F.col("full_text")))
-        .select(
-            F.least("conv_id", "container_id").alias("conv_a"),
-            F.greatest("conv_id", "container_id").alias("conv_b"),
-        )
-        .distinct()
+    return _contained_pairs(conv_texts, all_boundaries=False, max_bucket=max_bucket)
+
+
+def containment_hot_buckets(
+    conv_texts: DataFrame, max_bucket: int = 4000
+) -> DataFrame:
+    """Quarantine surface: over-cap (ph, bucket_n) blocks. ph is a hash;
+    joining back to _suffixes recovers the offending prefixes if needed."""
+    return hot_buckets(
+        _suffix_blocks(_suffixes(conv_texts, all_boundaries=True)),
+        ["ph"],
+        max_bucket,
     )

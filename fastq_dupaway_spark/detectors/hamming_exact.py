@@ -10,38 +10,51 @@ construction, so it is oracle-checkable:
 pigeonhole: if hamming(a, b) <= d then at least one of d+1 contiguous
 character chunks of a equals the matching chunk of b. Blocking key =
 (n_turns, len(turn0), chunk_id, chunk_text) — an equi-join Catalyst
-shuffles on a short string key; AQE splits skewed chunks. Verification is
-exact per-turn Hamming, JVM-side (zip_with/aggregate — no Python).
+shuffles on a short string key. Short turn-0 texts (len0 <= d, where
+zero-width chunks would break the pigeonhole) block on (n_turns, len0)
+alone via a sentinel chunk — same-length short texts are trivially within
+Hamming len0 <= d, so candidate recall stays 1.0. Verification is exact
+per-turn Hamming.
 
-At 10^12-turn scale the chunk key keeps candidate sets small because a
-1/(d+1) slice of a turn is long enough to be nearly unique; pathological
-blocks (boilerplate) are capped and surfaced, as in the other detectors.
+Hot blocks (boilerplate turn-0) are salted into bounded sub-buckets and
+surfaced, never dropped (buckets.py policy): pair recall inside a hot
+block is sub-bucket-local per chunk_id, and the d+1 chunk bands cut the
+block orthogonally so connected components recovers hot clusters.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .buckets import hot_buckets, salted_self_pairs
 from .simhash import verify_hamming_pairs
 
 
-def hamming_candidates(
-    transcripts: DataFrame, d: int = 2, max_bucket: int = 4000
-) -> DataFrame:
-    """(conv_a, conv_b) candidates: same n_turns, same turn-0 length, and
-    at least one of the d+1 turn-0 chunks equal."""
+def _chunk_blocks(transcripts: DataFrame, d: int) -> DataFrame:
+    """(conv_id, n_turns, len0, chunk_id, chunk_text) blocking rows.
+
+    chunk i covers [floor(i*len/n), floor((i+1)*len/n)) — same arithmetic
+    as the oracle SQL. len0 <= d emits ONE sentinel row (chunk_id -1,
+    empty chunk_text): blocking on (n_turns, len0) alone, since equal
+    lengths <= d are already within distance d on turn 0.
+    """
     n_chunks = d + 1
     turn0 = transcripts.where(F.col("turn_idx") == 0).select("conv_id", "text")
     n_turns = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
     base = turn0.join(n_turns, "conv_id").select(
         "conv_id", "n_turns", F.length("text").alias("len0"), "text"
     )
-    # chunk i covers [floor(i*len/n), floor((i+1)*len/n)) — same arithmetic
-    # as the oracle SQL; zero-width chunks (len0 < n_chunks) are dropped,
-    # leaving whole-text blocking via the surviving chunks.
-    chunks = (
-        base.select(
+    short = base.where(F.col("len0") <= d).select(
+        "conv_id",
+        "n_turns",
+        "len0",
+        F.lit(-1).alias("chunk_id"),
+        F.lit("").alias("chunk_text"),
+    )
+    long = (
+        base.where(F.col("len0") > d)
+        .select(
             "conv_id",
             "n_turns",
             "len0",
@@ -60,7 +73,6 @@ def hamming_candidates(
                 "int"
             ),
         )
-        .where(F.col("c_end") > F.col("c_start"))
         .select(
             "conv_id",
             "n_turns",
@@ -71,30 +83,30 @@ def hamming_candidates(
             ),
         )
     )
-    sized = chunks.withColumn(
-        "bucket_n",
-        F.count("*").over(
-            Window.partitionBy("n_turns", "len0", "chunk_id", "chunk_text")
-        ),
+    return short.unionByName(long)
+
+
+_KEYS = ["n_turns", "len0", "chunk_id", "chunk_text"]
+
+
+def hamming_candidates(
+    transcripts: DataFrame, d: int = 2, max_bucket: int = 4000
+) -> DataFrame:
+    """(conv_a, conv_b) candidates: same n_turns, same turn-0 length, and
+    at least one of the d+1 turn-0 chunks equal (len0 > d) or len0 <= d."""
+    return salted_self_pairs(
+        _chunk_blocks(transcripts, d),
+        key_cols=_KEYS,
+        id_col="conv_id",
+        max_bucket=max_bucket,
     )
-    capped = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-    a, b = capped.alias("a"), capped.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.n_turns") == F.col("b.n_turns"),
-                F.col("a.len0") == F.col("b.len0"),
-                F.col("a.chunk_id") == F.col("b.chunk_id"),
-                F.col("a.chunk_text") == F.col("b.chunk_text"),
-                F.col("a.conv_id") < F.col("b.conv_id"),
-            ],
-        )
-        .select(
-            F.col("a.conv_id").alias("conv_a"), F.col("b.conv_id").alias("conv_b")
-        )
-        .distinct()
-    )
+
+
+def hamming_hot_buckets(
+    transcripts: DataFrame, d: int = 2, max_bucket: int = 4000
+) -> DataFrame:
+    """Quarantine surface: over-cap chunk blocks + sizes."""
+    return hot_buckets(_chunk_blocks(transcripts, d), _KEYS, max_bucket)
 
 
 def hamming_pairs_exact(
@@ -103,6 +115,7 @@ def hamming_pairs_exact(
     d: int = 2,
     max_bucket: int = 4000,
 ) -> DataFrame:
-    """Recall-1.0 Hamming pair relation: chunk blocking + exact verify."""
+    """Hamming pair relation: chunk blocking + exact verify. Recall 1.0
+    outside hot blocks (see module docstring for the hot-block policy)."""
     cands = hamming_candidates(transcripts, d, max_bucket)
     return verify_hamming_pairs(conv_texts, cands, d)

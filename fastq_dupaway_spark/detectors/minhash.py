@@ -15,7 +15,8 @@ dedup additionally needs set-similarity. Pipeline:
    per-row Python').
 3. LSH banding: b bands x r rows; band key = xxhash64 of the signature
    slice. Self-join on (band_id, band_key) -> candidates. Hot buckets
-   capped + AQE skew join (SURVEY.md §4 item 2).
+   salted into bounded sub-buckets + surfaced via lsh_hot_buckets
+   (buckets.py policy; SURVEY.md §4 item 2).
 4. exact Jaccard verify on shingle-hash sets (array_intersect/array_union,
    JVM-side) -> verified pairs at threshold t.
 
@@ -29,8 +30,10 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .buckets import hot_buckets, salted_self_pairs
 
 
 
@@ -110,13 +113,11 @@ def minhash_signatures(
     return sets.select("conv_id", sig_udf(F.col("shs")).alias("sig"))
 
 
-def lsh_candidates(
-    signatures: DataFrame,
-    n_bands: int = 16,
-    max_bucket: int = 2000,
-) -> DataFrame:
-    """Band self-join: (conv_a, conv_b) with conv_a < conv_b."""
-    banded = signatures.select(
+def _banded(signatures: DataFrame, n_bands: int) -> DataFrame:
+    """(conv_id, band_id, band_key): xxhash64 of each signature slice.
+    Requires k % n_bands == 0 — enforced, since a truncating slice would
+    silently compare bands of unequal width."""
+    return signatures.select(
         "conv_id",
         F.explode(
             F.transform(
@@ -135,24 +136,32 @@ def lsh_candidates(
         ).alias("band"),
     ).select("conv_id", "band.band_id", "band.band_key")
 
-    sized = banded.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band_id", "band_key"))
+
+def lsh_candidates(
+    signatures: DataFrame,
+    n_bands: int = 16,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Band self-join: (conv_a, conv_b) with conv_a < conv_b. Hot band
+    buckets (boilerplate) are salted into bounded sub-buckets, never
+    dropped (buckets.py policy); band_id in the salt hash means the 16
+    bands cut a hot population 16 different ways, so connected components
+    recovers the full cluster even though per-band pair coverage inside a
+    hot bucket is sub-bucket-local."""
+    return salted_self_pairs(
+        _banded(signatures, n_bands),
+        key_cols=["band_id", "band_key"],
+        id_col="conv_id",
+        max_bucket=max_bucket,
     )
-    capped = sized.where(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-    a, b = capped.alias("a"), capped.alias("b")
-    return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_key") == F.col("b.band_key"),
-                F.col("a.conv_id") < F.col("b.conv_id"),
-            ],
-        )
-        .select(
-            F.col("a.conv_id").alias("conv_a"), F.col("b.conv_id").alias("conv_b")
-        )
-        .distinct()
+
+
+def lsh_hot_buckets(
+    signatures: DataFrame, n_bands: int = 16, max_bucket: int = 2000
+) -> DataFrame:
+    """Quarantine surface: over-cap (band_id, band_key, bucket_n) rows."""
+    return hot_buckets(
+        _banded(signatures, n_bands), ["band_id", "band_key"], max_bucket
     )
 
 
@@ -185,9 +194,10 @@ def minhash_pairs(
     """End-to-end: shingles -> signatures -> LSH -> exact-Jaccard verify.
 
     Lazy composition; the shingle table feeds BOTH the signature stage and
-    the verify stage, so callers should materialize intermediates — the
-    checkpointed pipeline does (each stage is a checkpoint table), and
-    bench.py persists stage-by-stage the same way."""
+    the verify stage, so callers should materialize the shingle table —
+    the checkpointed pipeline and bench.py both do."""
+    if k % n_bands:
+        raise ValueError(f"k={k} must be a multiple of n_bands={n_bands}")
     sh = shingle_hashes(transcripts, n)
     sigs = minhash_signatures(sh, k, seed)
     cands = lsh_candidates(sigs, n_bands, max_bucket)

@@ -54,38 +54,15 @@ _SCAN_SCHEMA = T.StructType(
         T.StructField("conv_id", T.StringType()),
         T.StructField("local_survivor", T.BooleanType()),
         T.StructField("local_head", T.StringType()),
-        T.StructField("exported_texts", T.ArrayType(T.StringType())),
+        # exported rows carry the composite sort key (texts joined on \x1f)
+        # instead of the texts array — split(_US) reconstructs it exactly
+        T.StructField("exported_key", T.StringType()),
         T.StructField("in_head", T.BooleanType()),
         T.StructField("is_last_survivor", T.BooleanType()),
         T.StructField("is_last_row", T.BooleanType()),
         T.StructField("n_rows", T.LongType()),
     ]
 )
-
-
-def _scan(
-    rows: list[tuple[str, list[str]]],
-    mode: str,
-    d: int,
-    incoming_ref: list[str] | None = None,
-    incoming_head: str | None = None,
-) -> list[tuple[str, bool, str]]:
-    """Sequential reference scan over (conv_id, texts) rows already in sort
-    order. Returns [(conv_id, survivor, head_conv_id)]. With an incoming
-    reference the head run is judged against it first (boundary replay)."""
-    out: list[tuple[str, bool, str]] = []
-    ref, head = incoming_ref, incoming_head
-    for conv_id, texts in rows:
-        if ref is not None and conv_dup(ref, texts, mode, d):
-            out.append((conv_id, False, head))
-            if mode == "loose" and all(
-                len(c) >= len(r) for r, c in zip(ref, texts)
-            ):
-                ref = texts
-        else:
-            out.append((conv_id, True, conv_id))
-            ref, head = texts, conv_id
-    return out
 
 
 @dataclass
@@ -116,8 +93,11 @@ def parity_clusters(
             f"unknown parity mode {mode!r}; expected tight|loose|hamming"
         )
     spark = conv_texts.sparkSession
-    keyed = conv_texts.withColumn(
-        "sort_key", F.concat_ws(_US, F.col("texts"))
+    # the composite sort key IS the conversation (texts joined on \x1f and
+    # reconstructible by split), so ONLY (conv_id, sort_key) enters the
+    # range exchange — round 1 shipped texts + key, 2x conversation bytes
+    keyed = conv_texts.select(
+        "conv_id", F.concat_ws(_US, F.col("texts")).alias("sort_key")
     )
     if num_partitions:
         keyed = keyed.repartitionByRange(num_partitions, "sort_key", "conv_id")
@@ -126,65 +106,88 @@ def parity_clusters(
     keyed = keyed.sortWithinPartitions("sort_key", "conv_id")
 
     cap = head_cap
+    hs = head_survivors
 
     def scan_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Streaming comparator scan: one Arrow batch resident at a time
+        (round 1 accumulated the whole partition in Python — the memory
+        hazard the round-1 verdict flagged). Regular rows carry decisions;
+        two trailer rows (pos -1 / -2) carry the partition summary the
+        driver-side boundary replay needs.
+
+        Export rule == round 1's export_limit: a row is exported while
+        fewer than `head_survivors` survivors have been seen and pos < cap
+        (the replay realigns at a survivor both scans keep — almost always
+        the first; cap guards giant duplicate runs).
+        """
         from pyspark import TaskContext
 
         part_id = TaskContext.get().partitionId()
-        rows: list[tuple[str, list[str]]] = []
+        ref: list[str] | None = None
+        head_id: str | None = None
+        pos = 0
+        surv_seen = 0
+        last_surv: tuple[str, str] | None = None  # (cid, key)
+        last_row: tuple[str, str, str] | None = None  # (cid, key, local_head)
         for pdf in batches:
-            for cid, texts in zip(pdf["conv_id"], pdf["texts"]):
-                rows.append((cid, list(texts)))
-        if not rows:
-            return
-        decisions = _scan(rows, mode, d)
-        n = len(rows)
-        surv_positions = [i for i, dec in enumerate(decisions) if dec[1]]
-        last_surv_pos = surv_positions[-1] if surv_positions else None
-        # export budget: replay realigns at a local survivor the replay
-        # also keeps — almost always the 1st; export up to the
-        # `head_survivors`-th so the driver ships a handful of rows per
-        # partition, not the whole head (cap guards giant dup runs).
-        if len(surv_positions) >= head_survivors:
-            export_limit = min(surv_positions[head_survivors - 1], cap - 1)
-        else:
-            export_limit = min(n - 1, cap - 1)
-        out = {
-            "part_id": [],
-            "pos": [],
-            "conv_id": [],
-            "local_survivor": [],
-            "local_head": [],
-            "exported_texts": [],
-            "in_head": [],
-            "is_last_survivor": [],
-            "is_last_row": [],
-            "n_rows": [],
-        }
-        for i, ((cid, texts), (_, surv, head)) in enumerate(zip(rows, decisions)):
-            in_head = i <= export_limit
-            export = in_head or i == n - 1 or i == last_surv_pos
-            out["part_id"].append(part_id)
-            out["pos"].append(i)
-            out["conv_id"].append(cid)
-            out["local_survivor"].append(surv)
-            out["local_head"].append(head)
-            out["exported_texts"].append(texts if export else None)
-            out["in_head"].append(in_head)
-            out["is_last_survivor"].append(i == last_surv_pos)
-            out["is_last_row"].append(i == n - 1)
-            out["n_rows"].append(n)
-        yield pd.DataFrame(out)
+            out = {
+                "part_id": [], "pos": [], "conv_id": [], "local_survivor": [],
+                "local_head": [], "exported_key": [], "in_head": [],
+                "is_last_survivor": [], "is_last_row": [], "n_rows": [],
+            }
+            for cid, key in zip(pdf["conv_id"], pdf["sort_key"]):
+                texts = key.split(_US)
+                if ref is not None and conv_dup(ref, texts, mode, d):
+                    surv, head = False, head_id
+                    if mode == "loose" and all(
+                        len(c) >= len(r) for r, c in zip(ref, texts)
+                    ):
+                        ref = texts
+                else:
+                    surv, head = True, cid
+                    ref, head_id = texts, cid
+                in_head = surv_seen < hs and pos < cap
+                if surv:
+                    surv_seen += 1
+                    last_surv = (cid, key)
+                last_row = (cid, key, head)
+                out["part_id"].append(part_id)
+                out["pos"].append(pos)
+                out["conv_id"].append(cid)
+                out["local_survivor"].append(surv)
+                out["local_head"].append(head)
+                out["exported_key"].append(key if in_head else None)
+                out["in_head"].append(in_head)
+                out["is_last_survivor"].append(False)
+                out["is_last_row"].append(False)
+                out["n_rows"].append(0)
+                pos += 1
+            yield pd.DataFrame(out)
+        if pos:
+            yield pd.DataFrame(
+                {
+                    "part_id": [part_id, part_id],
+                    "pos": [-1, -2],
+                    "conv_id": [last_surv[0], last_row[0]],
+                    "local_survivor": [True, False],
+                    "local_head": [last_surv[0], last_row[2]],
+                    "exported_key": [last_surv[1], last_row[1]],
+                    "in_head": [False, False],
+                    "is_last_survivor": [True, False],
+                    "is_last_row": [False, True],
+                    "n_rows": [pos, pos],
+                }
+            )
 
     scanned = keyed.mapInPandas(scan_partition, _SCAN_SCHEMA)
     scanned = scanned.localCheckpoint()
 
     # --- driver-side boundary replay over the tiny exported heads -------
     exported = (
-        scanned.where(F.col("exported_texts").isNotNull())
+        scanned.where(F.col("exported_key").isNotNull())
         .select(
             "part_id", "pos", "conv_id", "local_survivor", "local_head",
-            "exported_texts", "in_head", "is_last_survivor", "is_last_row",
+            "exported_key", "in_head", "is_last_survivor", "is_last_row",
             "n_rows",
         )
         .collect()
@@ -192,17 +195,19 @@ def parity_clusters(
     parts: dict[int, _PartSummary] = {}
     for r in exported:
         s = parts.setdefault(
-            r["part_id"], _PartSummary(r["part_id"], r["n_rows"], [], None, None)
+            r["part_id"], _PartSummary(r["part_id"], 0, [], None, None)
         )
+        texts = r["exported_key"].split(_US)
         if r["in_head"]:
             s.head.append(
-                (r["pos"], r["conv_id"], list(r["exported_texts"]),
+                (r["pos"], r["conv_id"], texts,
                  r["local_survivor"], r["local_head"])
             )
         if r["is_last_survivor"]:
-            s.last_survivor = (r["conv_id"], list(r["exported_texts"]))
+            s.last_survivor = (r["conv_id"], texts)
         if r["is_last_row"]:
-            s.last_row = (r["conv_id"], list(r["exported_texts"]), r["local_head"])
+            s.last_row = (r["conv_id"], texts, r["local_head"])
+            s.n_rows = r["n_rows"]
 
     # Replay invariants (hamming: ref = last kept survivor; loose: ref =
     # previous record — see SURVEY.md §2.6):
@@ -259,13 +264,14 @@ def parity_clusters(
             cid, texts = s.last_survivor
             ref, head_id = texts, cid
 
+    rows = scanned.where(F.col("pos") >= 0)  # drop partition-summary trailers
     if corrections:
         corr_df = spark.createDataFrame(
             [(cid, sv, hd) for cid, (sv, hd) in corrections.items()],
             "conv_id string, survivor boolean, head string",
         )
         fixed = (
-            scanned.join(F.broadcast(corr_df), "conv_id", "left")
+            rows.join(F.broadcast(corr_df), "conv_id", "left")
             .select(
                 "conv_id",
                 F.coalesce(F.col("head"), F.col("local_head")).alias(
@@ -274,7 +280,7 @@ def parity_clusters(
             )
         )
     else:
-        fixed = scanned.select(
+        fixed = rows.select(
             "conv_id", F.col("local_head").alias("rep_conv_id")
         )
     return fixed

@@ -116,13 +116,39 @@ def test_minhash_matches_brute_force_jaccard(spark, gen_corpus):
     assert len(want) > 10
 
 
-def test_minhash_hot_bucket_cap(spark):
-    """A boilerplate turn shared by many conversations must not explode
-    candidate generation when capped."""
+def test_minhash_hot_bucket_salting(spark):
+    """Hot-bucket policy (buckets.py): a boilerplate text shared by many
+    conversations is salted into bounded sub-buckets — candidate volume
+    stays bounded, NOTHING is silently dropped (the round-1 cap dropped
+    these), the hot keys are surfaced, and connected components over the
+    orthogonal band cuts recovers the full hot cluster."""
+    from fastq_dupaway_spark.clustering import clusters_with_singletons
+    from fastq_dupaway_spark.detectors.minhash import (
+        lsh_hot_buckets,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
     convs = [(f"h{i:03d}", ["identical boilerplate greeting text here ok"]) for i in range(50)]
     convs += [(f"u{i:03d}", [f"unique text {i} with words number {i * 7}"]) for i in range(20)]
     t = corpus.conv_df(spark, convs)
-    pairs_capped = minhash_pairs(t, n=3, k=16, n_bands=4, threshold=0.8, max_bucket=10)
-    # the 50-way boilerplate bucket (size > 10) is quarantined
-    got = _spark_pairs(pairs_capped)
-    assert not any(a.startswith("h") and b.startswith("h") for a, b in got)
+    ct = conversation_texts(t)
+
+    # single band: pair coverage inside the hot bucket is sub-bucket-local
+    # (bounded well below the 50-clique), but present — not dropped
+    one_band = _spark_pairs(
+        minhash_pairs(t, n=3, k=16, n_bands=1, threshold=0.8, max_bucket=10)
+    )
+    hot_one_band = {p for p in one_band if p[0].startswith("h")}
+    assert 0 < len(hot_one_band) < 50 * 49 / 2
+
+    # hot keys are surfaced, with true sizes
+    sigs = minhash_signatures(shingle_hashes(t, 3), k=16)
+    hot = lsh_hot_buckets(sigs, n_bands=4, max_bucket=10).collect()
+    assert hot and all(r["bucket_n"] == 50 for r in hot)
+
+    # multiple bands cut the bucket differently -> CC recovers ONE cluster
+    pairs = minhash_pairs(t, n=3, k=16, n_bands=4, threshold=0.8, max_bucket=10)
+    clusters = clusters_with_singletons(ct.select("conv_id"), pairs).collect()
+    reps = {r["rep_conv_id"] for r in clusters if r["conv_id"].startswith("h")}
+    assert reps == {"h000"}, f"hot cluster not recovered: {reps}"

@@ -72,6 +72,57 @@ def _q_loose_turn0_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parity_clusters(ct0, "loose", num_partitions=8).orderBy("conv_id")
 
 
+def _q_loose_pair_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 paired-loose parity: conversations restricted to their first two
+    turns, loose run-scan over the composite (turn0, turn1) order — the
+    k-turn loose comparator incl. same-sidedness
+    (/root/reference/src/comparator.cpp:65-74). In ascending sort order a
+    loose dup always has every turn >= the reference (a strictly-shorter
+    turn 0 would sort earlier; mixed directions fail same-sidedness), so
+    the oracle's lag-window formulation is exact."""
+    t = build_transcripts(spark, sf_dir)
+    eligible = (
+        t.groupBy("conv_id")
+        .agg(F.count("*").alias("n_turns"))
+        .where(F.col("n_turns") >= 2)
+        .select("conv_id")
+    )
+    t2 = t.join(eligible, "conv_id", "left_semi").where(F.col("turn_idx") <= 1)
+    return parity_clusters(
+        conversation_texts(t2), "loose", num_partitions=8
+    ).orderBy("conv_id")
+
+
+def _q_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 canonicalization/quarantine: control chars injected into turn 0
+    of doc_id%11==0 conversations (the test corpus is clean, so the query
+    plants its own corruption identically on both engines), then the
+    validate_transcripts split; returns per-quarantined-conversation row
+    and bad-row counts."""
+    from fastq_dupaway_spark.canonicalize import validate_transcripts
+
+    t = build_transcripts(spark, sf_dir)
+    docnum = F.substring("conv_id", 1, 8).cast("int")
+    injected = t.withColumn(
+        "text",
+        F.when(
+            (docnum % 11 == 0) & (F.col("turn_idx") == 0),
+            F.concat(
+                F.substring("text", 1, 5), F.lit("\t"), F.expr("substr(text, 6)")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    _clean, quarantined = validate_transcripts(injected)
+    return (
+        quarantined.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("reason").alias("n_bad"),
+        )
+        .orderBy("conv_id")
+    )
+
+
 def _q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = build_transcripts(spark, sf_dir)
     ct = conversation_texts(t)
@@ -208,6 +259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_cluster_sizes": _q_exact_cluster_sizes,
         "resync_exact_survivors": _q_resync_exact_survivors,
         "loose_turn0_clusters": _q_loose_turn0_clusters,
+        "loose_pair_clusters": _q_loose_pair_clusters,
+        "quarantine_summary": _q_quarantine_summary,
         "hamming_pairs": _q_hamming_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "near_dup_components": _q_near_dup_components,
@@ -334,6 +387,60 @@ def oracle_sql() -> dict[str, str]:
                                               ROWS UNBOUNDED PRECEDING)
                        AS rep_conv_id
             FROM seg ORDER BY conv_id
+        """,
+        "loose_pair_clusters": _T + """
+            , nt2 AS (
+                SELECT conv_id FROM transcripts
+                GROUP BY conv_id HAVING count(*) >= 2
+            ),
+            tt AS (
+                SELECT t.conv_id,
+                       max(CASE WHEN turn_idx = 0 THEN text END) AS t0,
+                       max(CASE WHEN turn_idx = 1 THEN text END) AS t1
+                FROM transcripts t JOIN nt2 USING (conv_id)
+                WHERE turn_idx <= 1 GROUP BY t.conv_id
+            ),
+            runs AS (
+                SELECT conv_id, t0, t1,
+                       CASE WHEN lag(t0) OVER w IS NOT NULL
+                                 AND starts_with(t0, lag(t0) OVER w)
+                                 AND starts_with(t1, lag(t1) OVER w)
+                            THEN 0 ELSE 1 END AS new_run
+                FROM tt WINDOW w AS (ORDER BY t0, t1, conv_id)
+            ),
+            seg AS (
+                SELECT conv_id, t0, t1,
+                       SUM(new_run) OVER (ORDER BY t0, t1, conv_id
+                                          ROWS UNBOUNDED PRECEDING) AS run_id
+                FROM runs
+            )
+            SELECT conv_id,
+                   first_value(conv_id) OVER (PARTITION BY run_id
+                                              ORDER BY t0, t1, conv_id
+                                              ROWS UNBOUNDED PRECEDING)
+                       AS rep_conv_id
+            FROM seg ORDER BY conv_id
+        """,
+        "quarantine_summary": _T + """
+            , injected AS (
+                SELECT conv_id, turn_idx,
+                       CASE WHEN CAST(substr(conv_id, 1, 8) AS INTEGER) % 11 = 0
+                                 AND turn_idx = 0
+                            THEN substr(text, 1, 5) || chr(9) || substr(text, 6)
+                            ELSE text END AS text
+                FROM transcripts
+            ),
+            flagged AS (
+                SELECT conv_id,
+                       count(*) AS n_rows,
+                       count(*) FILTER (
+                           WHERE text IS NULL
+                              OR regexp_matches(text, '[\\x00-\\x1f]')
+                       ) AS n_bad
+                FROM injected GROUP BY conv_id
+            )
+            SELECT conv_id, n_rows, n_bad FROM flagged
+            WHERE n_bad > 0 ORDER BY conv_id
         """,
         "hamming_pairs": _T + _HAMMING_PAIRS + """
             SELECT conv_a, conv_b FROM verified ORDER BY conv_a, conv_b

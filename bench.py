@@ -9,7 +9,7 @@ Prints ONE JSON line:
 The transcripts input is derived deterministically from documents.parquet
 (corpus.build_transcripts) and replicated BENCH_REPLICAS times (default 8)
 with a per-replica text rewrite, so dup structure scales linearly and no
-external data is used. A planted HOT cluster (1/73 of conversations
+external data is used. A planted HOT cluster (1/HOT_MOD of conversations
 rewritten to one constant boilerplate text, NOT replica-tagged) exercises
 the hot-bucket salting path in every detector at bench scale (SURVEY.md
 §7.3.4). `recall_planted` measures dup-pair recall of the detector union
@@ -49,13 +49,20 @@ from fastq_dupaway_spark.detectors.simhash import simhash_pairs
 from fastq_dupaway_spark.session import get_spark
 
 #: 1-in-HOT_MOD conversations are rewritten to this constant text (all
-#: turns), forming one giant near-dup cluster that overflows every
-#: detector's max_bucket — the planted hot key.
-HOT_MOD = 73
+#: turns), forming one hot near-dup cluster that overflows every
+#: detector's MAX_BUCKET — the planted hot key. Sized so the hot
+#: cluster's TRUE pair relation (quadratic in its size — e.g. every hot
+#: conversation genuinely contains every longer one) stays a small
+#: fraction of suite work: ~200 hot convs at sf0.1 x24 -> ~20k true hot
+#: pairs vs ~75k planted pairs.
+HOT_MOD = 997
 HOT_TEXT = (
     "standard boilerplate greeting how can i help you with that today "
     "thanks for reaching out to support"
 )
+#: bench detectors run with this max_bucket so the ~200-conv hot cluster
+#: overflows it and exercises the salted sub-bucket path at every site
+MAX_BUCKET = 100
 
 
 def _is_hot(col):
@@ -67,14 +74,20 @@ def replicated_transcripts(spark, sf_dir: str, replicas: int):
     making replicas mutually UNRELATED (work must scale ~linearly in
     replicas, not quadratically):
 
-    a replica tag token is prepended to every turn AND interleaved between
-    every pair of tokens (' ' -> ' q<r> '): every turn then differs across
-    replicas (including single-token and empty turns — round 1's
-    replace-only rewrite left those identical), every word 3-gram contains
-    the tag so cross-replica Jaccard is 0, tags are equal-length across
-    replicas so cross-replica char-Hamming is ~#tokens >> d, and prefixes
-    can't match across replicas. Within a replica every planted relation
-    is preserved (the rewrite is uniform).
+    every TOKEN gets a fixed-width replica suffix ('fox' -> 'fox~03'),
+    including the last token of every turn, so every token (and thus every
+    turn — including single-token and empty turns, which round 1's rewrite
+    left identical) differs across replicas: cross-replica Jaccard is 0
+    (no shared shingle), cross-replica char-Hamming is ~#tokens >> d with
+    equal lengths, and prefixes can't match across replicas. Within a
+    replica every planted relation is preserved (the rewrite is uniform).
+
+    The suffix form matters: an earlier interleaved-tag rewrite
+    (' ' -> ' q<r> ') made HALF of all tokens one constant tag token,
+    which pinned 32 of 64 simhash bits per replica and collapsed the
+    simhash space into ~40M false near-pairs — a corpus artifact, not a
+    detector property. Per-token suffixes keep the token-frequency
+    distribution of the underlying text.
 
     EXCEPTION by design: the planted hot cluster (see HOT_MOD) is constant
     across replicas — its work is bounded by the salted-bucket policy, not
@@ -92,7 +105,8 @@ def replicated_transcripts(spark, sf_dir: str, replicas: int):
             "turn_idx",
             "role",
             F.expr(
-                "concat('q', replica, ' ', replace(text, ' ', concat(' q', replica, ' ')))"
+                "concat(replace(text, ' ', concat('~', lpad(replica, 2, '0'), ' ')), "
+                "'~', lpad(replica, 2, '0'))"
             ).alias("text"),
             "tool",
         )
@@ -181,26 +195,30 @@ def main() -> None:
         )
 
     run("exact_dedup", exact_dedup)
-    run(
-        "parity_loose",
-        lambda: parity_clusters(ct, "loose", num_partitions=partitions)
-        .where(F.col("conv_id") != F.col("rep_conv_id"))
-        .count(),
-    )
+
+    parity_holder = {}
+
+    def parity_loose():
+        pc = parity_clusters(ct, "loose", num_partitions=partitions).persist()
+        pc.where(F.col("conv_id") != F.col("rep_conv_id")).count()
+        parity_holder["clusters"] = pc
+
+    run("parity_loose", parity_loose)
 
     def hamming():
-        p = hamming_pairs_exact(t, ct, d=2).persist()
+        p = hamming_pairs_exact(t, ct, d=2, max_bucket=MAX_BUCKET).persist()
         p.count()
         found_pairs["hamming"] = p
 
     run("hamming_pairs_exact", hamming)
+
     run(
         "simhash_pairs",
-        lambda: simhash_pairs(ct, bit_threshold=3).count(),
+        lambda: simhash_pairs(ct, bit_threshold=3, max_bucket=MAX_BUCKET).count(),
     )
 
     def containment():
-        p = containment_pairs(ct).persist()
+        p = containment_pairs(ct, max_bucket=MAX_BUCKET).persist()
         p.count()
         found_pairs["containment"] = p
 
@@ -216,8 +234,11 @@ def main() -> None:
         # driver time dominated the scaling loss
         sh = shingle_hashes(t, 3).persist()
         sh.count()
+        # the band self-join's input is localCheckpoint'ed inside
+        # lsh_candidates (buckets.salted_self_pairs), so the pandas-UDF
+        # signature stage runs exactly once with no staging here
         sigs = minhash_signatures(sh, 128)
-        cands = lsh_candidates(sigs, 16)
+        cands = lsh_candidates(sigs, 16, max_bucket=MAX_BUCKET)
         pairs = verify_jaccard_pairs(sh, cands, 0.8).select(
             "conv_a", "conv_b"
         ).persist()
@@ -237,13 +258,35 @@ def main() -> None:
         found = None
         for df in found_pairs.values():
             found = df if found is None else found.unionByName(df)
-        found = found.distinct()
+        found = found.distinct().persist()
         hit = expected.join(found, ["conv_a", "conv_b"], "left_semi").count()
         total = expected.count()
         recall_holder["recall"] = round(hit / max(total, 1), 5)
         recall_holder["expected_pairs"] = total
         print(
             f"# recall_planted: {recall_holder['recall']} ({hit}/{total})",
+            file=sys.stderr,
+        )
+        # BASELINE.json headline: dup-pair recall vs REFERENCE clusters —
+        # the parity-loose run clusters (reference semantics) re-expressed
+        # as (rep, member) pairs; the loose chain relation is transitive
+        # prefix containment, so the exact+containment detectors must
+        # recover every pair
+        ref_pairs = (
+            parity_holder["clusters"]
+            .where(F.col("conv_id") != F.col("rep_conv_id"))
+            .select(
+                F.least("conv_id", "rep_conv_id").alias("conv_a"),
+                F.greatest("conv_id", "rep_conv_id").alias("conv_b"),
+            )
+        )
+        ref_hit = ref_pairs.join(found, ["conv_a", "conv_b"], "left_semi").count()
+        ref_total = ref_pairs.count()
+        recall_holder["recall_vs_reference"] = round(ref_hit / max(ref_total, 1), 5)
+        recall_holder["reference_pairs"] = ref_total
+        print(
+            f"# recall_vs_reference: {recall_holder['recall_vs_reference']}"
+            f" ({ref_hit}/{ref_total})",
             file=sys.stderr,
         )
 
@@ -267,6 +310,8 @@ def main() -> None:
                 "turns_per_sec": round(n_turns / total, 1),
                 "recall_planted": recall_holder.get("recall"),
                 "expected_pairs": recall_holder.get("expected_pairs"),
+                "recall_vs_reference": recall_holder.get("recall_vs_reference"),
+                "reference_pairs": recall_holder.get("reference_pairs"),
                 "cc_rounds": cc_stats.get("cc_rounds"),
             }
         )

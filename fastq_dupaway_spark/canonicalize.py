@@ -22,6 +22,38 @@ from pyspark.sql import functions as F
 #: cannot appear in hex sha output.
 _SEP = "|"
 
+#: C0 control characters — corrupt in transcript text, and unsafe for the
+#: engine's composite keys (\x1f joins turn texts in sort/containment keys,
+#: \n/\t would change composite sort order vs the tuple order).
+_CONTROL_RE = "[\\x00-\\x1f]"
+
+
+def validate_transcripts(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """P9 canonicalization/quarantine split -> (clean, quarantined).
+
+    Reference analog: the alphabet validator that ABORTS on any
+    out-of-alphabet byte (/root/reference/src/seq_utils.cpp:3-21). A
+    distributed pipeline must not abort on one dirty row at 10^12-turn
+    scale: rows whose text is NULL or contains C0 control characters are
+    routed to a quarantine table instead, with a `reason` on the offending
+    rows. Whole CONVERSATIONS are quarantined (one corrupt turn poisons
+    every composite key the detectors build from the conversation);
+    innocent sibling rows carry reason NULL.
+
+    Both outputs are narrow derivations of the input (a filter-join on the
+    small bad-id set — broadcast at any scale where corruption is rare).
+    """
+    reason = F.when(F.col("text").isNull(), F.lit("null_text")).when(
+        F.col("text").rlike(_CONTROL_RE), F.lit("control_chars")
+    )
+    flagged = transcripts.withColumn("reason", reason)
+    bad_ids = (
+        flagged.where(F.col("reason").isNotNull()).select("conv_id").distinct()
+    )
+    clean = transcripts.join(bad_ids, "conv_id", "left_anti")
+    quarantined = flagged.join(bad_ids, "conv_id", "left_semi")
+    return clean, quarantined
+
 
 def turn_hashes(transcripts: DataFrame) -> DataFrame:
     """Per-turn content digest. Narrow (no shuffle); scan-adjacent so

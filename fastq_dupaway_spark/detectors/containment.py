@@ -134,6 +134,9 @@ def _contained_pairs(
             "ph", F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
         )
     )
+    # probes carry ONLY (conv_id, ph, salt): needle text joins back at the
+    # verify, so hot-block salt replication multiplies 24-byte rows, not
+    # conversation bytes
     probes = (
         needles.join(F.broadcast(hot_dim), "ph", "left")
         .withColumn(
@@ -142,18 +145,20 @@ def _contained_pairs(
                 F.sequence(F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)
             ),
         )
-        .select("conv_id", "full_text", "ph", "salt")
+        .select("conv_id", "ph", "salt")
     )
 
     cands = (
         probes.join(salted, ["ph", "salt"])
         .where(F.col("conv_id") != F.col("container_id"))
-        .select("conv_id", "full_text", "container_id", "turn_k")
+        .select("conv_id", "container_id", "turn_k")
     )
-    # verify: join container texts back ONCE, rebuild the suffix at turn_k,
-    # exact startswith (kills ph collisions and false prefix matches)
+    # verify: join needle text + container texts back ONCE, rebuild the
+    # suffix at turn_k, exact startswith (kills ph collisions and false
+    # prefix matches)
     verified = (
-        cands.join(
+        cands.join(needles.select("conv_id", "full_text"), "conv_id")
+        .join(
             conv_texts.select(
                 F.col("conv_id").alias("container_id"), "texts"
             ),

@@ -166,10 +166,19 @@ def lsh_hot_buckets(
 
 
 def verify_jaccard_pairs(
-    shingles: DataFrame, candidates: DataFrame, threshold: float
+    shingles: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard on shingle-hash sets, JVM-side array ops."""
+    """Exact Jaccard on shingle-hash sets, JVM-side array ops.
+
+    materialize (default): the per-conversation shingle-set table is
+    localCheckpoint'ed — it feeds BOTH sides of the candidate join and
+    would otherwise aggregate the shingle table twice."""
     sets = shingles.groupBy("conv_id").agg(F.collect_set("sh").alias("shs"))
+    if materialize:
+        sets = sets.localCheckpoint()
     a = sets.select(F.col("conv_id").alias("conv_a"), F.col("shs").alias("shs_a"))
     b = sets.select(F.col("conv_id").alias("conv_b"), F.col("shs").alias("shs_b"))
     joined = candidates.join(a, "conv_a").join(b, "conv_b")

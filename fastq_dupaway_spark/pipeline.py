@@ -1,9 +1,12 @@
 """End-to-end dedup pipeline orchestration.
 
-The Spark lifecycle of SURVEY.md §3.4: canonicalize -> per-detector
-signature/candidate stages -> union pair sets -> connected components ->
-survivor election -> survivors + clusters + metrics, with every stage
-checkpointed (checkpoints.CheckpointStore) for resumability.
+The Spark lifecycle of SURVEY.md §3.4: quarantine -> canonicalize ->
+per-detector signature/candidate stages -> union pair sets -> connected
+components -> survivor election -> survivors + clusters + metrics, with
+every stage checkpointed (checkpoints.CheckpointStore) for resumability —
+the north rule's "signatures, bands, candidate pairs, components" stage
+list, each with per-partition lineage, observed counters, and a
+hot-bucket quarantine table per detector.
 
 The reference's 8-way mode dispatch (/root/reference/src/main.cpp:196-245,
 {seq,hash} x {SE,PE} x {fastq,fasta}) becomes one config object: detectors
@@ -18,15 +21,31 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .canonicalize import conversation_texts
+from .canonicalize import conversation_texts, validate_transcripts
 from .checkpoints import CheckpointStore
 from .clustering import clusters_with_singletons
 from .detectors import exact
-from .detectors.containment import containment_pairs
-from .detectors.hamming_exact import hamming_pairs_exact
-from .detectors.minhash import minhash_pairs
+from .detectors.containment import containment_hot_buckets, containment_pairs
+from .detectors.hamming_exact import (
+    hamming_candidates,
+    hamming_hot_buckets,
+)
+from .detectors.minhash import (
+    lsh_candidates,
+    lsh_hot_buckets,
+    minhash_pairs,
+    minhash_signatures,
+    shingle_hashes,
+    verify_jaccard_pairs,
+)
 from .detectors.parity_scan import parity_clusters
-from .detectors.simhash import simhash_pairs
+from .detectors.simhash import (
+    candidate_pairs as simhash_candidates,
+    conversation_simhashes,
+    simhash_hot_buckets,
+    simhash_pairs,
+    verify_hamming_pairs,
+)
 
 
 @dataclass
@@ -41,6 +60,9 @@ class DedupConfig:
     # parity_mode: None | 'tight' | 'loose' | 'hamming' — run the
     # reference-run-semantics scan INSTEAD of transitive detectors
     parity_mode: str | None = None
+    # P9 quarantine pre-stage: route conversations with NULL /
+    # control-char text to a quarantine table instead of aborting
+    quarantine: bool = True
     hamming_d: int = 2
     simhash_bit_threshold: int = 3
     shingle_n: int = 3
@@ -59,6 +81,7 @@ class PipelineResult:
     clusters: DataFrame  # (conv_id, rep_conv_id)
     survivors: DataFrame  # transcript rows of representatives, verbatim
     pairs: DataFrame | None
+    quarantined: DataFrame | None = None
     stages: list[dict] = field(default_factory=list)
 
 
@@ -72,14 +95,30 @@ def run_pipeline(
     base_params = config.params()
     stages: list[dict] = []
 
-    def stage(name: str, fn, **extra):
+    def stage(name: str, fn, observe=None, extra: dict | None = None):
+        # `extra` is passed BY REFERENCE into materialize: df_fn() may
+        # fill it while running (e.g. CC round stats), and materialize
+        # merges it into the manifest only after the stage completes
         if store is None:
             return fn()
-        res = store.materialize(name, fn, {**base_params, "stage": name}, extra)
+        res = store.materialize(
+            name, fn, {**base_params, "stage": name}, extra, observe=observe
+        )
         stages.append(
-            {"stage": name, "rows": res.rows, "resumed": res.resumed}
+            {
+                "stage": name,
+                "rows": res.rows,
+                "resumed": res.resumed,
+                "metrics": res.metrics,
+            }
         )
         return res.df
+
+    quarantined = None
+    if config.quarantine:
+        clean, quar = validate_transcripts(transcripts)
+        quarantined = stage("quarantine", lambda: quar)
+        transcripts = clean
 
     ct = stage("conversation_texts", lambda: conversation_texts(transcripts))
 
@@ -104,15 +143,39 @@ def run_pipeline(
                 )
             )
         if config.hamming_exact:
-            pair_sets.append(
-                stage(
-                    "hamming_pairs",
-                    lambda: hamming_pairs_exact(
+            if store is None:
+                from .detectors.hamming_exact import hamming_pairs_exact
+
+                pair_sets.append(
+                    hamming_pairs_exact(
                         transcripts, ct, config.hamming_d, config.max_bucket
+                    )
+                )
+            else:
+                stage(
+                    "hamming_hot_buckets",
+                    lambda: hamming_hot_buckets(
+                        transcripts, config.hamming_d, config.max_bucket
                     ),
                 )
-            )
+                hc = stage(
+                    "hamming_candidates",
+                    lambda: hamming_candidates(
+                        transcripts, config.hamming_d, config.max_bucket
+                    ),
+                )
+                pair_sets.append(
+                    stage(
+                        "hamming_pairs",
+                        lambda: verify_hamming_pairs(ct, hc, config.hamming_d),
+                    )
+                )
         if config.containment:
+            if store is not None:
+                stage(
+                    "containment_hot_buckets",
+                    lambda: containment_hot_buckets(ct, config.max_bucket),
+                )
             pair_sets.append(
                 stage(
                     "containment_pairs",
@@ -120,21 +183,45 @@ def run_pipeline(
                 )
             )
         if config.simhash:
-            pair_sets.append(
-                stage(
-                    "simhash_pairs",
-                    lambda: simhash_pairs(
+            if store is None:
+                pair_sets.append(
+                    simhash_pairs(
                         ct,
                         bit_threshold=config.simhash_bit_threshold,
                         max_bucket=config.max_bucket,
+                    )
+                )
+            else:
+                sims = stage(
+                    "simhash_signatures", lambda: conversation_simhashes(ct)
+                )
+                stage(
+                    "simhash_hot_buckets",
+                    lambda: simhash_hot_buckets(
+                        sims, config.simhash_bit_threshold, config.max_bucket
                     ),
                 )
-            )
+                sc = stage(
+                    "simhash_candidates",
+                    lambda: simhash_candidates(
+                        sims, config.simhash_bit_threshold, config.max_bucket
+                    ),
+                )
+                pair_sets.append(
+                    stage(
+                        "simhash_pairs",
+                        lambda: sc.where(
+                            F.bit_count(
+                                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+                            )
+                            <= config.simhash_bit_threshold
+                        ).select("conv_a", "conv_b"),
+                    )
+                )
         if config.minhash:
-            pair_sets.append(
-                stage(
-                    "minhash_pairs",
-                    lambda: minhash_pairs(
+            if store is None:
+                pair_sets.append(
+                    minhash_pairs(
                         transcripts,
                         n=config.shingle_n,
                         k=config.minhash_k,
@@ -142,22 +229,64 @@ def run_pipeline(
                         threshold=config.jaccard_threshold,
                         max_bucket=config.max_bucket,
                         seed=config.seed,
+                    )
+                )
+            else:
+                # the north rule's stage list verbatim: signatures, bands
+                # (candidates), pairs — each its own resumable checkpoint
+                sh = stage(
+                    "minhash_shingles",
+                    lambda: shingle_hashes(transcripts, config.shingle_n),
+                )
+                sigs = stage(
+                    "minhash_signatures",
+                    lambda: minhash_signatures(
+                        sh, config.minhash_k, config.seed
                     ),
                 )
-            )
+                stage(
+                    "minhash_hot_buckets",
+                    lambda: lsh_hot_buckets(
+                        sigs, config.minhash_bands, config.max_bucket
+                    ),
+                )
+                mc = stage(
+                    "minhash_candidates",
+                    lambda: lsh_candidates(
+                        sigs, config.minhash_bands, config.max_bucket
+                    ),
+                )
+                pair_sets.append(
+                    stage(
+                        "minhash_pairs",
+                        lambda: verify_jaccard_pairs(
+                            sh, mc, config.jaccard_threshold
+                        ).select("conv_a", "conv_b"),
+                    )
+                )
         if not pair_sets:
             raise ValueError("no detector enabled in DedupConfig")
         pairs = pair_sets[0]
         for p in pair_sets[1:]:
-            pairs = pairs.unionByName(p)
+            pairs = pairs.unionByName(p.select("conv_a", "conv_b"))
         pairs = stage("candidate_pairs", lambda: pairs.distinct())
+        cc_stats: dict = {}
         clusters = stage(
             "components",
-            lambda: clusters_with_singletons(ct.select("conv_id"), pairs),
+            lambda: clusters_with_singletons(
+                ct.select("conv_id"), pairs, stats=cc_stats
+            ),
+            observe={
+                "total_convs": F.count(F.lit(1)),
+                "dup_convs": F.sum(
+                    F.when(F.col("conv_id") != F.col("rep_conv_id"), 1).otherwise(0)
+                ),
+            },
+            extra=cc_stats,
         )
 
     reps = clusters.where(F.col("conv_id") == F.col("rep_conv_id")).select(
         "conv_id"
     )
     survivors = transcripts.join(reps, "conv_id", "left_semi")
-    return PipelineResult(clusters, survivors, pairs, stages)
+    return PipelineResult(clusters, survivors, pairs, quarantined, stages)

@@ -58,6 +58,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--checkpoint", help="stage checkpoint root (resumable)")
     p.add_argument("--write-clusters", action="store_true")
+    p.add_argument(
+        "--no-quarantine",
+        action="store_true",
+        help="skip the P9 malformed-text quarantine pre-stage (reference "
+        "aborts on out-of-alphabet bytes, src/seq_utils.cpp:3-21; the "
+        "pipeline quarantines instead — this flag trusts the input)",
+    )
+    p.add_argument("--max-bucket", type=int, default=2000)
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
     if args.parity and args.detectors != "exact":
@@ -97,19 +105,29 @@ def main(argv=None) -> None:
         minhash="minhash" in dets,
         containment="containment" in dets,
         parity_mode=args.parity,
+        quarantine=not args.no_quarantine,
         hamming_d=args.distance,
         jaccard_threshold=args.jaccard,
+        max_bucket=args.max_bucket,
     )
     res = run_pipeline(t, cfg, checkpoint_root=args.checkpoint)
     res.survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
     if args.write_clusters:
         res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    if res.quarantined is not None:
+        res.quarantined.write.mode("overwrite").parquet(
+            f"{args.output}/quarantine"
+        )
     n_surv = res.clusters.where(
         F.col("conv_id") == F.col("rep_conv_id")
     ).count()
     n_all = res.clusters.count()
+    n_quar = res.quarantined.count() if res.quarantined is not None else 0
     # the reference's --verbose counters (src/seq_dup_remover.hpp:107-108)
-    print(f"tot_convs={n_all} dup_convs={n_all - n_surv} survivors={n_surv}")
+    print(
+        f"tot_convs={n_all} dup_convs={n_all - n_surv} survivors={n_surv} "
+        f"quarantined_rows={n_quar}"
+    )
     if owns_session:
         spark.stop()
 

@@ -84,3 +84,80 @@ def test_parity_mode_pipeline(spark, tmp_path):
         "00003": "00003",
         "00004": "00001",
     }
+
+def test_quarantine_stage_routes_malformed_rows(spark, tmp_path):
+    """P9: conversations with control-char or NULL text are quarantined
+    whole; clean survivors are unchanged by the dirty rows' presence."""
+    convs = [
+        ("00001", ["good clean text", "more clean text"]),
+        ("00002", ["good clean text", "more clean text"]),  # exact dup of 1
+        ("00003", ["bad\x00byte here", "innocent sibling turn"]),
+        ("00004", ["tab\tinside"]),
+        ("00005", ["another unique fine conversation"]),
+    ]
+    t = corpus.conv_df(spark, convs)
+    res = run_pipeline(
+        t, DedupConfig(exact=True), checkpoint_root=str(tmp_path / "ck")
+    )
+    quarantined = {
+        (r["conv_id"], r["reason"]) for r in res.quarantined.collect()
+    }
+    # whole conversations quarantined; offending rows carry reasons,
+    # innocent sibling rows carry NULL
+    assert quarantined == {
+        ("00003", "control_chars"),
+        ("00003", None),
+        ("00004", "control_chars"),
+    }
+    clusters = {r["conv_id"]: r["rep_conv_id"] for r in res.clusters.collect()}
+    assert clusters == {"00001": "00001", "00002": "00001", "00005": "00005"}
+
+
+def test_observed_counters_in_manifest(spark, tmp_path):
+    """A4 verbose counters: the components manifest carries observed
+    total/dup conversation counts + CC round stats, ridden on the write."""
+    convs = corpus.generate_corpus(seed=3, n_conv=40, dup_rate=0.5)
+    t = corpus.conv_df(spark, convs)
+    root = str(tmp_path / "ck")
+    res = run_pipeline(t, DedupConfig(exact=True), checkpoint_root=root)
+    man = json.load(open(os.path.join(root, "components", "_MANIFEST.json")))
+    m = man["metrics"]
+    n_convs = t.select("conv_id").distinct().count()
+    n_reps = res.clusters.where(
+        F.col("conv_id") == F.col("rep_conv_id")
+    ).count()
+    assert m["total_convs"] == n_convs
+    assert m["dup_convs"] == n_convs - n_reps > 0
+    assert m["cc_rounds"] >= 1
+
+
+def test_hot_bucket_quarantine_stage(spark, tmp_path):
+    """Detector hot buckets land in the checkpoint store as quarantine
+    tables with true sizes — never silently dropped."""
+    convs = [
+        (f"h{i:03d}", ["identical boilerplate greeting text here ok"])
+        for i in range(40)
+    ] + [
+        (f"u{i:03d}", [f"unique text {i} with words number {i * 7}"])
+        for i in range(10)
+    ]
+    t = corpus.conv_df(spark, convs)
+    root = str(tmp_path / "ck")
+    res = run_pipeline(
+        t,
+        DedupConfig(exact=False, minhash=True, max_bucket=10),
+        checkpoint_root=root,
+    )
+    stage_rows = {s["stage"]: s["rows"] for s in res.stages}
+    assert stage_rows.get("minhash_hot_buckets", 0) > 0
+    hot = spark.read.parquet(
+        os.path.join(root, "minhash_hot_buckets", "data")
+    ).collect()
+    assert all(r["bucket_n"] == 40 for r in hot)
+    # and the hot cluster still fully recovered via salted bands + CC
+    reps = {
+        r["rep_conv_id"]
+        for r in res.clusters.collect()
+        if r["conv_id"].startswith("h")
+    }
+    assert reps == {"h000"}

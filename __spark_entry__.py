@@ -162,6 +162,20 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(ct).orderBy("conv_a", "conv_b")
 
 
+def _q_char_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level generalized substring containment (SURVEY §7.1 M4):
+    conv A's composite occurs ANYWHERE in conv B's composite — boundary
+    occurrences + mid-turn multi-turn needles (suffix-block tail path) +
+    mid-turn single-turn needles >= 16 chars (rolling-gram index). The
+    oracle brute-forces position() over composite pairs with the same
+    short-single-turn-needle boundary-only rule."""
+    from fastq_dupaway_spark.detectors.containment import char_containment_pairs
+
+    t = build_transcripts(spark, sf_dir)
+    ct = conversation_texts(t)
+    return char_containment_pairs(ct).orderBy("conv_a", "conv_b")
+
+
 def _q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
@@ -265,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "near_dup_components": _q_near_dup_components,
         "containment_pairs": _q_containment_pairs,
+        "char_containment_pairs": _q_char_containment_pairs,
         "token_stats": _q_token_stats,
         "quality": _q_quality,
         "lang_guess": _q_lang_guess,
@@ -514,6 +529,41 @@ def oracle_sql() -> dict[str, str]:
             FROM ctexts n JOIN sfx s
               ON n.conv_id != s.container_id
              AND starts_with(s.suffix, n.full_text)
+            ORDER BY conv_a, conv_b
+        """,
+        "char_containment_pairs": _T + """
+            , ctext AS (
+                SELECT conv_id,
+                       string_agg(text, chr(31) ORDER BY turn_idx) AS fulltxt,
+                       count(*) AS m
+                FROM transcripts GROUP BY conv_id
+            ),
+            sfx AS (
+                SELECT a.conv_id AS container_id,
+                       string_agg(b.text, chr(31) ORDER BY b.turn_idx) AS suffix
+                FROM transcripts a
+                JOIN transcripts b
+                  ON a.conv_id = b.conv_id AND b.turn_idx >= a.turn_idx
+                GROUP BY a.conv_id, a.turn_idx
+            ),
+            pairs AS (
+                -- eligible needles: anywhere in the composite
+                SELECT least(a.conv_id, b.conv_id) AS conv_a,
+                       greatest(a.conv_id, b.conv_id) AS conv_b
+                FROM ctext a JOIN ctext b ON a.conv_id != b.conv_id
+                WHERE strpos(b.fulltxt, a.fulltxt) > 0
+                  AND (a.m >= 2 OR length(a.fulltxt) >= 16)
+                UNION
+                -- short single-turn needles: boundary occurrences only
+                SELECT least(n.conv_id, s.container_id),
+                       greatest(n.conv_id, s.container_id)
+                FROM (SELECT conv_id, fulltxt FROM ctext
+                      WHERE m = 1 AND length(fulltxt) < 16) n
+                JOIN sfx s
+                  ON n.conv_id != s.container_id
+                 AND starts_with(s.suffix, n.fulltxt)
+            )
+            SELECT DISTINCT conv_a, conv_b FROM pairs
             ORDER BY conv_a, conv_b
         """,
         "lang_guess": """

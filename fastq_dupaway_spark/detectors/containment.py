@@ -207,3 +207,213 @@ def containment_hot_buckets(
         ["ph"],
         max_bucket,
     )
+
+
+# ---------------------------------------------------------------------------
+# Char-level generalized substring containment (SURVEY.md §7.1 M4)
+# ---------------------------------------------------------------------------
+
+#: 16-gram window for the single-turn position index
+GRAM_LEN = 16
+
+
+def _tail_path_pairs(conv_texts: DataFrame, max_bucket: int) -> DataFrame:
+    """Mid-turn occurrences of MULTI-turn needles.
+
+    \\x1f appears exactly at turn boundaries, so an occurrence of a k>=2
+    turn needle A inside composite(B) at char offset o>0 of B's turn j-1
+    decomposes into: turn 0 of A is a SUFFIX of B's turn j-1, and
+    composite(A minus turn 0) is turn-boundary-contained at boundary j.
+    That reuses the id-only suffix blocks — |turns| * PREFIX_LEN rows, no
+    position index needed for multi-turn needles.
+    """
+    tails = (
+        conv_texts.where(F.size("texts") >= 2)
+        .select(
+            "conv_id",
+            F.element_at("texts", 1).alias("head"),
+            F.concat_ws(
+                _US, F.slice("texts", 2, F.size("texts") - 1)
+            ).alias("tail_text"),
+        )
+        .select(
+            "conv_id",
+            "head",
+            "tail_text",
+            F.xxhash64(
+                F.least(F.length("tail_text"), F.lit(PREFIX_LEN)),
+                F.substring("tail_text", 1, PREFIX_LEN),
+            ).alias("ph"),
+        )
+    )
+    blocks = _suffix_blocks(_suffixes(conv_texts, all_boundaries=True)).where(
+        F.col("turn_k") >= 2
+    )
+    sized = blocks.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("ph"))
+    )
+    salted = sized.withColumn(
+        "n_salts", F.ceil(F.col("bucket_n") / max_bucket).cast("int")
+    ).select(
+        "container_id",
+        "turn_k",
+        "ph",
+        F.when(F.col("n_salts") <= 1, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("container_id", "ph"), F.col("n_salts")))
+        .cast("int")
+        .alias("salt"),
+    )
+    hot_dim = hot_buckets(blocks, ["ph"], max_bucket).select(
+        "ph", F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
+    )
+    probes = (
+        tails.join(F.broadcast(hot_dim), "ph", "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)
+            ),
+        )
+        .select("conv_id", "ph", "salt")
+    )
+    cands = (
+        probes.join(salted, ["ph", "salt"])
+        .where(F.col("conv_id") != F.col("container_id"))
+        .select("conv_id", "container_id", "turn_k")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            tails.select("conv_id", "head", "tail_text"), "conv_id"
+        )
+        .join(
+            conv_texts.select(F.col("conv_id").alias("container_id"), "texts"),
+            "container_id",
+        )
+        .where(
+            F.concat_ws(
+                _US,
+                F.slice("texts", F.col("turn_k"), F.size("texts") - F.col("turn_k") + 1),
+            ).startswith(F.col("tail_text"))
+            & F.element_at("texts", F.col("turn_k") - 1).endswith(F.col("head"))
+        )
+    )
+    return verified.select(
+        F.least("conv_id", "container_id").alias("conv_a"),
+        F.greatest("conv_id", "container_id").alias("conv_b"),
+    )
+
+
+def _gram_path_pairs(conv_texts: DataFrame, max_bucket: int) -> DataFrame:
+    """Mid-turn occurrences of SINGLE-turn needles with len >= GRAM_LEN.
+
+    A needle without the separator lies inside exactly one turn of the
+    container, so a rolling GRAM_LEN-gram position index over turn bytes
+    (id-only rows — THE discretized generalized-suffix-array pass:
+    O(total_bytes) index rows of ~28 fixed bytes, hash-partitioned)
+    blocks needle 16-prefixes to candidate (container, turn) slots;
+    verify is one JVM locate() after joining the turn text back once.
+    Hot grams (common English windows) are salted with needle-probe
+    replication like the prefix blocks. Single-turn needles SHORTER than
+    GRAM_LEN are served by the turn-boundary detector only (documented
+    limitation — a whole conversation under 16 chars is degenerate at
+    corpus scale).
+    """
+    needles = (
+        conv_texts.where(F.size("texts") == 1)
+        .select("conv_id", F.element_at("texts", 1).alias("full"))
+        .where(F.length("full") >= GRAM_LEN)
+        .select(
+            "conv_id",
+            F.xxhash64(F.substring("full", 1, GRAM_LEN)).alias("gh"),
+        )
+    )
+    turns = conv_texts.select(
+        F.col("conv_id").alias("container_id"),
+        F.posexplode("texts").alias("tk0", "turn"),
+    ).where(F.length("turn") >= GRAM_LEN)
+    grams = (
+        turns.select(
+            "container_id",
+            (F.col("tk0") + 1).alias("turn_k"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("turn") - (GRAM_LEN - 1)),
+                    lambda o: F.xxhash64(F.substring("turn", o, F.lit(GRAM_LEN))),
+                )
+            ).alias("gh"),
+        )
+        .distinct()  # one candidate per (container, turn, gram value)
+    )
+    sized = grams.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    )
+    salted = sized.withColumn(
+        "n_salts", F.ceil(F.col("bucket_n") / max_bucket).cast("int")
+    ).select(
+        "container_id",
+        "turn_k",
+        "gh",
+        F.when(F.col("n_salts") <= 1, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("container_id", "gh"), F.col("n_salts")))
+        .cast("int")
+        .alias("salt"),
+    )
+    hot_dim = hot_buckets(grams, ["gh"], max_bucket).select(
+        "gh", F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
+    )
+    probes = (
+        needles.join(F.broadcast(hot_dim), "gh", "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)
+            ),
+        )
+        .select("conv_id", "gh", "salt")
+    )
+    cands = (
+        probes.join(salted, ["gh", "salt"])
+        .where(F.col("conv_id") != F.col("container_id"))
+        .select("conv_id", "container_id", "turn_k")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            conv_texts.where(F.size("texts") == 1).select(
+                "conv_id", F.element_at("texts", 1).alias("full")
+            ),
+            "conv_id",
+        )
+        .join(
+            conv_texts.select(F.col("conv_id").alias("container_id"), "texts"),
+            "container_id",
+        )
+        .where(F.expr("locate(full, element_at(texts, turn_k)) > 0"))
+    )
+    return verified.select(
+        F.least("conv_id", "container_id").alias("conv_a"),
+        F.greatest("conv_id", "container_id").alias("conv_b"),
+    )
+
+
+def char_containment_pairs(
+    conv_texts: DataFrame, max_bucket: int = 4000
+) -> DataFrame:
+    """(conv_a, conv_b): conv_a's canonical composite text occurs ANYWHERE
+    in conv_b's composite text (char-level generalized substring
+    containment — SURVEY.md section 7.1 M4), not just at turn boundaries.
+
+    Decomposition (exact, because the separator appears only at turn
+    boundaries): boundary-aligned occurrences come from containment_pairs;
+    mid-turn occurrences of multi-turn needles from the tail path (suffix
+    blocks reused, |turns|*PREFIX_LEN id rows); mid-turn occurrences of
+    single-turn needles (len >= GRAM_LEN) from the rolling-gram position
+    index (O(total_bytes) id rows — priced like a distributed suffix
+    array, which it discretizes). Single-turn needles shorter than
+    GRAM_LEN match at turn boundaries only (documented).
+    """
+    base = containment_pairs(conv_texts, max_bucket)
+    tail = _tail_path_pairs(conv_texts, max_bucket)
+    gram = _gram_path_pairs(conv_texts, max_bucket)
+    return base.unionByName(tail).unionByName(gram).distinct()

@@ -16,8 +16,11 @@ module provides the streaming front door that feeds the batch detectors:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .canonicalize import turn_hashes
 
@@ -57,4 +60,124 @@ def write_transcripts_stream(
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .outputMode("append")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Online NEAR-dup candidates: stateful LSH over the stream
+# (applyInPandasWithState — the north-star's custom stateful operator)
+# ---------------------------------------------------------------------------
+
+_PAIR_SCHEMA = "conv_a string, conv_b string"
+_STATE_SCHEMA = "seen array<string>"
+
+
+def streaming_minhash_bands(
+    conv_stream: DataFrame, n: int = 3, k: int = 32, n_bands: int = 8, seed: int = 42
+) -> DataFrame:
+    """(conv_id, ts, band_id, band_key) for a stream of one-row-per-
+    conversation texts.
+
+    Row-local only — shingle hashes via JVM transform/xxhash64, the k-perm
+    MinHash via a scalar Arrow UDF over each row's hash array (no
+    aggregation, so no watermark needed at this stage). Bands explode
+    exactly like the batch detector (same (a*h+b) mod 2^64 permutations,
+    same banding), so online candidates are consistent with the nightly
+    batch authority.
+    """
+    from .detectors.minhash import _perm_coeffs
+
+    a, b = _perm_coeffs(k, seed)
+
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(shs: pd.Series) -> pd.Series:
+        out = []
+        for row in shs:
+            h = np.asarray(row, dtype=np.int64).astype(np.uint64)
+            sigs = np.empty(k, dtype=np.uint64)
+            for i in range(k):
+                sigs[i] = np.min(a[i] * h + b[i])  # mod 2^64 wraparound
+            out.append(sigs.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    r = k // n_bands
+    banded = conv_stream.select(
+        "conv_id",
+        "ts",
+        sig_udf(grams).alias("sig"),
+    ).select(
+        "conv_id",
+        "ts",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band_id"),
+                    F.xxhash64(F.slice("sig", bidx * r + 1, r)).alias(
+                        "band_key"
+                    ),
+                ),
+            )
+        ).alias("band"),
+    )
+    return banded.select("conv_id", "ts", "band.band_id", "band.band_key")
+
+
+def streaming_lsh_candidates(
+    conv_stream: DataFrame,
+    n: int = 3,
+    k: int = 32,
+    n_bands: int = 8,
+    max_state: int = 64,
+    timeout_minutes: int = 60,
+    seed: int = 42,
+) -> DataFrame:
+    """Online near-dup candidate pairs via stateful LSH buckets.
+
+    State per (band_id, band_key): the first `max_state` conv_ids seen in
+    the bucket (bounded memory per key — the streaming analog of the batch
+    hot-bucket cap; over-cap members still PAIR against the stored
+    representatives, so cluster joins survive, and ProcessingTimeTimeout
+    expires idle buckets). Every arriving conversation emits a candidate
+    pair against each stored bucket member; downstream verification (exact
+    Jaccard in the nightly batch, which remains the authority) filters
+    false bucket collisions. Output: (conv_a, conv_b) append stream.
+    """
+    def update(key, pdfs, state):
+        seen: list[str] = list(state.get[0]) if state.exists else []
+        pairs_a: list[str] = []
+        pairs_b: list[str] = []
+        for pdf in pdfs:
+            for cid in pdf["conv_id"]:
+                for other in seen:
+                    if other != cid:
+                        pairs_a.append(min(other, cid))
+                        pairs_b.append(max(other, cid))
+                if len(seen) < max_state and cid not in seen:
+                    seen.append(cid)
+        state.update((seen,))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if pairs_a:
+            yield pd.DataFrame({"conv_a": pairs_a, "conv_b": pairs_b})
+
+    bands = streaming_minhash_bands(conv_stream, n, k, n_bands, seed)
+    # NOTE: a pair colliding in several bands is emitted once per band —
+    # deduplication is left to the consumer (the batch verify dedups
+    # anyway); a streaming dropDuplicates here would grow pair-keyed
+    # state without bound, defeating the bounded-state design.
+    return bands.groupBy("band_id", "band_key").applyInPandasWithState(
+        update,
+        outputStructType=_PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
     )

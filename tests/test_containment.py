@@ -86,3 +86,67 @@ def test_short_needle_recall(spark):
     got = _pairs(containment_pairs(ct))
     assert ("n1", "n2") in got
     assert not any("n3" in p for p in got)
+
+
+class TestCharContainment:
+    """char_containment_pairs: mid-turn generalized substring containment
+    vs a brute-force composite-in-composite oracle."""
+
+    CONVS = [
+        # mid-turn single-turn needle (len >= 16)
+        ("n_single", ["hello wonderful world"]),
+        ("c_single", ["AA hello wonderful world BB", "another turn"]),
+        # short single-turn needle: mid-turn occurrence NOT detected
+        # (documented GRAM_LEN limitation), boundary occurrence IS
+        ("n_short", ["tiny txt"]),
+        ("c_short_mid", ["ZZ tiny txt YY"]),
+        ("c_short_bnd", ["tiny txt and more trailing words"]),
+        # mid-turn multi-turn needle: head suffix + exact middle + prefix
+        ("n_multi", ["tail of first", "second turn here", "thi"]),
+        ("c_multi", ["PREFIX tail of first", "second turn here", "third turn more"]),
+        # near miss: head not a suffix of the preceding turn
+        ("c_miss", ["PREFIX tail of firstX", "second turn here", "third turn more"]),
+        # boundary containment regression
+        ("n_bound", ["second turn here", "thi"]),
+        ("unrelated", ["completely different content words"]),
+    ]
+
+    def _brute(self, eligible_only=True):
+        us = "\x1f"
+        comp = {cid: us.join(turns) for cid, turns in self.CONVS}
+        m = {cid: len(turns) for cid, turns in self.CONVS}
+        out = set()
+        for a in comp:
+            for b in comp:
+                if a == b or comp[a] not in comp[b]:
+                    continue
+                if m[a] == 1 and len(comp[a]) < 16:
+                    # short single-turn: boundary occurrences only
+                    suffixes = [
+                        us.join(dict(self.CONVS)[b][k:])
+                        for k in range(len(dict(self.CONVS)[b]))
+                    ]
+                    if not any(s.startswith(comp[a]) for s in suffixes):
+                        continue
+                out.add(tuple(sorted((a, b))))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from fastq_dupaway_spark.detectors.containment import (
+            char_containment_pairs,
+        )
+
+        t = corpus.conv_df(spark, self.CONVS)
+        ct = conversation_texts(t)
+        got = {
+            tuple(sorted((r["conv_a"], r["conv_b"])))
+            for r in char_containment_pairs(ct).collect()
+        }
+        want = self._brute()
+        assert got == want
+        # the interesting cases actually occur
+        assert ("c_single", "n_single") in want     # mid-turn single
+        assert ("c_multi", "n_multi") in want       # mid-turn multi
+        assert ("c_short_bnd", "n_short") in want   # short at boundary
+        assert ("c_short_mid", "n_short") not in want  # short mid-turn
+        assert ("c_miss", "n_multi") not in want

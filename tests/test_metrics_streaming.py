@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import time
+from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
@@ -89,3 +90,50 @@ def _memory_stream(spark, rows):
     df = spark.createDataFrame(rows + rows, corpus.TRANSCRIPT_SCHEMA)
     df.write.mode("overwrite").parquet(d)
     return spark.readStream.schema(corpus.TRANSCRIPT_SCHEMA).parquet(d)
+
+
+def test_streaming_lsh_candidates(spark, tmp_path):
+    """Stateful LSH near-dup candidates over a file stream: planted
+    near-identical conversations collide in at least one band ACROSS
+    micro-batches (state carries bucket membership), unrelated ones don't
+    flood candidates."""
+    import time
+
+    from fastq_dupaway_spark.streaming import streaming_lsh_candidates
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows1 = [("a1", base, datetime(2026, 1, 1, tzinfo=timezone.utc))]
+    rows2 = [
+        ("a2", base + " extra", datetime(2026, 1, 1, 0, 1, tzinfo=timezone.utc)),
+        ("zz", "completely different words about spark shuffles and parquet files",
+         datetime(2026, 1, 1, 0, 1, tzinfo=timezone.utc)),
+    ]
+    schema = "conv_id string, text string, ts timestamp"
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # two files -> file source processes them (state must persist across
+    # the micro-batch boundary for the a1/a2 pair to be emitted)
+    spark.createDataFrame(rows1, schema).write.parquet(str(src / "f1.parquet"))
+    spark.createDataFrame(rows2, schema).write.parquet(str(src / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    cands = streaming_lsh_candidates(stream, n=3, k=32, n_bands=8)
+    q = (
+        cands.writeStream.format("memory")
+        .queryName("lsh_cands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_a"], r["conv_b"])
+        for r in spark.sql("select * from lsh_cands").collect()
+    }
+    assert ("a1", "a2") in got
+    assert not any("zz" in p for p in got)

@@ -76,6 +76,9 @@ def main() -> None:
         "turns": low["turns"],
         "sf_dir": sf_dir,
         "replicas": replicas,
+        "recall_planted": high.get("recall_planted"),
+        "recall_vs_reference": high.get("recall_vs_reference"),
+        "cc_rounds": high.get("cc_rounds"),
         "queries_n": low["queries"],
         "queries_4n": high["queries"],
     }
@@ -103,6 +106,11 @@ def main() -> None:
         "",
         f"**Scaling efficiency (T_N / T_4N) / 4 = {efficiency}**"
         + ("  (target >= 0.8: MET)" if efficiency >= 0.8 else "  (target >= 0.8: NOT met)"),
+        "",
+        f"**Dup-pair recall at bench scale** (BASELINE.json headline, target >= 0.99):",
+        f"- vs planted derivation relations: {high.get('recall_planted')}",
+        f"- vs reference (parity-loose run) clusters: {high.get('recall_vs_reference')}",
+        f"- connected-components rounds: {high.get('cc_rounds')}",
         "",
         "Per-query seconds:",
         "",

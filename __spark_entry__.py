@@ -198,6 +198,50 @@ def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal path end-to-end with a driver oracle: a deterministic
+    binary media table derived from documents (payload = utf-8 bytes; 1/4
+    of docs share one of 16 planted blobs), deduped by payload content
+    hash (functions.multimodal.exact_media_dedup). The oracle groups by
+    the payload string directly — same partition, no hashing needed."""
+    from fastq_dupaway_spark.functions.multimodal import exact_media_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("media_id"),
+        F.encode(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit("shared-blob-"), (F.col("doc_id") % 16).cast("string")
+                ),
+            ).otherwise(F.col("text")),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return exact_media_dedup(media).orderBy("media_id")
+
+
+def _q_nation_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth: 3-way join chain lineitem->orders->customer with an
+    explicitly broadcast nation dim, exact-representable aggregates."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def _q_user_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breadth: ranking window over the events stream table."""
     from pyspark.sql import Window
@@ -284,7 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "lang_guess": _q_lang_guess,
         "ann_topk": _q_ann_topk,
+        "media_dedup": _q_media_dedup,
         "lineitem_pricing": _q_lineitem_pricing,
+        "nation_order_volume": _q_nation_order_volume,
         "user_event_seq": _q_user_event_seq,
         # rows-only checks (no oracle entry):
         "simhash_pairs": _q_simhash_pairs,
@@ -580,6 +626,28 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'en'
                    END AS lang_guess
             FROM toks ORDER BY doc_id
+        """,
+        "media_dedup": """
+            WITH media AS (
+                SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS media_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN 'shared-blob-' || CAST(doc_id % 16 AS VARCHAR)
+                            ELSE text END AS pay
+                FROM documents
+            )
+            SELECT media_id,
+                   min(media_id) OVER (PARTITION BY pay) AS rep_media_id
+            FROM media ORDER BY media_id
+        """,
+        "nation_order_volume": """
+            SELECT n_name,
+                   sum(l_quantity) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

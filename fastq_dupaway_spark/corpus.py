@@ -264,27 +264,41 @@ transcripts AS (
 
 def build_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of TRANSCRIPTS_DUCKDB_SQL (no ts column — ts is carried,
-    never compared; checked queries exclude it)."""
+    never compared; checked queries exclude it).
+
+    Variant generation is ONE parquet scan + an array/filter/explode (a
+    union of per-variant filters would re-read the scan once per variant —
+    4x the I/O at corpus scale; explain showed exactly that before this
+    form). Text expressions stay literally identical to the DuckDB CTE.
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    base = docs.select("doc_id", F.lit(0).alias("variant"), "text")
-    copy = docs.where(F.col("doc_id") % 3 == 0).select(
-        "doc_id", F.lit(1).alias("variant"), "text"
+
+    def v(variant: int, text_col):
+        return F.struct(F.lit(variant).alias("variant"), text_col.alias("text"))
+
+    arr = F.array(
+        v(0, F.col("text")),
+        F.when(F.col("doc_id") % 3 == 0, v(1, F.col("text"))),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            v(2, F.concat(F.col("text"), F.lit(" appended tail"))),
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            v(
+                3,
+                F.concat(
+                    F.substring(F.col("text"), 1, 10),
+                    F.lit("~"),
+                    F.expr("substr(text, 12)"),
+                ),
+            ),
+        ),
     )
-    extend = docs.where(F.col("doc_id") % 5 == 0).select(
+    variants = docs.select(
         "doc_id",
-        F.lit(2).alias("variant"),
-        F.concat(F.col("text"), F.lit(" appended tail")).alias("text"),
-    )
-    edit = docs.where(F.col("doc_id") % 7 == 0).select(
-        "doc_id",
-        F.lit(3).alias("variant"),
-        F.concat(
-            F.substring(F.col("text"), 1, 10),
-            F.lit("~"),
-            F.expr("substr(text, 12)"),
-        ).alias("text"),
-    )
-    variants = base.unionAll(copy).unionAll(extend).unionAll(edit)
+        F.explode(F.filter(arr, lambda x: x.isNotNull())).alias("v"),
+    ).select("doc_id", "v.variant", "v.text")
     convs = variants.select(
         F.concat(
             F.lpad(F.col("doc_id").cast("string"), 8, "0"),

@@ -29,7 +29,7 @@ re-merges it. Detectors with a single blocking family at a given key
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -38,26 +38,43 @@ def with_salt(
     key_cols: list[str],
     id_col: str,
     max_bucket: int,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Add a `salt` column: 0 for rows in buckets of <= max_bucket rows,
     else pmod(xxhash64(id, keys...), ceil(bucket_n / max_bucket)).
+
+    Bucket sizes come from a map-side-combined groupBy reduced to the
+    over-cap keys and BROADCAST back — heavy hitters are few by
+    definition, so the dim is small, and this avoids the full sort a
+    window(count over partitionBy) would impose on the entire band table.
+    `df` is scanned twice (sizes + salt join): callers pass a
+    checkpointed/cached band table (salted_self_pairs does). Pass `hot`
+    to reuse an already-computed hot_buckets() frame.
 
     Self-joins must add `salt` to the equi-join key. Including the key
     columns in the salt hash makes different bands cut a hot population
     along different boundaries (see module docstring).
     """
-    sized = df.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    if hot is None:
+        hot = hot_buckets(df, key_cols, max_bucket)
+    dim = hot.select(
+        *key_cols,
+        F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts"),
     )
-    n_salts = F.ceil(F.col("bucket_n") / F.lit(max_bucket))
-    return sized.withColumn(
-        "salt",
-        F.when(F.col("bucket_n") <= max_bucket, F.lit(0))
-        .otherwise(
-            F.pmod(F.xxhash64(F.col(id_col), *key_cols), n_salts)
+    return (
+        df.join(F.broadcast(dim), key_cols, "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("n_salts").isNull(), F.lit(0))
+            .otherwise(
+                F.pmod(
+                    F.xxhash64(F.col(id_col), *key_cols), F.col("n_salts")
+                )
+            )
+            .cast("int"),
         )
-        .cast("int"),
-    ).drop("bucket_n")
+        .drop("n_salts")
+    )
 
 
 def salted_self_pairs(
@@ -71,17 +88,17 @@ def salted_self_pairs(
     """Within-bucket self-join -> (conv_a, conv_b [, carry_a.., carry_b..])
     with conv_a < conv_b, under the salted hot-bucket policy.
 
-    materialize (default): the salted band table is localCheckpoint'ed
-    before the self-join — both join sides AND the window subtree would
-    otherwise recompute the (often expensive: signatures) upstream plan;
-    measured ~2x on the simhash/minhash paths. Rows are fixed-width ids +
-    hashes, so the checkpoint is small relative to the corpus, and
+    materialize (default): the band table is localCheckpoint'ed before
+    sizing and self-joining — the size aggregation and both join sides
+    would otherwise recompute the (often expensive: signatures) upstream
+    plan; measured ~2x on the simhash/minhash paths. Rows are fixed-width
+    ids + hashes, so the checkpoint is small relative to the corpus, and
     MEMORY_AND_DISK spills under pressure. Pass False to keep the
     composition fully lazy (e.g. when the input is already a checkpointed
     stage table)."""
-    salted = with_salt(df, key_cols, id_col, max_bucket)
     if materialize:
-        salted = salted.localCheckpoint()
+        df = df.localCheckpoint()
+    salted = with_salt(df, key_cols, id_col, max_bucket)
     a, b = salted.alias("a"), salted.alias("b")
     cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
     cond.append(F.col("a.salt") == F.col("b.salt"))

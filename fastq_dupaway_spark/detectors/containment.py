@@ -40,10 +40,10 @@ quarter of the corpus) — intrinsic, not overhead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .buckets import hot_buckets
+from .buckets import hot_buckets, with_salt
 
 #: block key width: blocking fan-out is |turns| * PREFIX_LEN id-only rows
 PREFIX_LEN = 16
@@ -106,46 +106,42 @@ def _suffix_blocks(suffixes: DataFrame) -> DataFrame:
     )
 
 
-def _contained_pairs(
-    conv_texts: DataFrame, all_boundaries: bool, max_bucket: int
-) -> DataFrame:
-    needles = _needles(conv_texts)
-    blocks = _suffix_blocks(_suffixes(conv_texts, all_boundaries))
 
-    sized = blocks.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("ph"))
+def _salted_blocks_and_probes(
+    blocks: DataFrame, needles: DataFrame, key: str, max_bucket: int
+):
+    """Shared hot-block machinery for the two-sided (needle x block)
+    joins: localCheckpoint the id-only block table once, size buckets via
+    a map-side-combined groupBy (no window sort), salt over-cap blocks,
+    and replicate each needle probe across its block's salts (probes
+    carry only ids + hashes). Returns (salted_blocks, probes) — join on
+    (key, salt)."""
+    blocks = blocks.localCheckpoint()
+    hot = hot_buckets(blocks, [key], max_bucket)
+    dim = hot.select(
+        key, F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
     )
-    salted = sized.withColumn(
-        "n_salts", F.ceil(F.col("bucket_n") / max_bucket).cast("int")
-    ).select(
-        "container_id",
-        "turn_k",
-        "ph",
-        F.when(F.col("n_salts") <= 1, F.lit(0))
-        .otherwise(F.pmod(F.xxhash64("container_id", "ph"), F.col("n_salts")))
-        .cast("int")
-        .alias("salt"),
-    )
-    # replicate each needle across the salts of its (hot) block so no
-    # (needle, container) pair is lost; non-hot blocks cost one row
-    hot_dim = (
-        hot_buckets(blocks, ["ph"], max_bucket)
-        .select(
-            "ph", F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
-        )
-    )
-    # probes carry ONLY (conv_id, ph, salt): needle text joins back at the
-    # verify, so hot-block salt replication multiplies 24-byte rows, not
-    # conversation bytes
+    salted = with_salt(blocks, [key], "container_id", max_bucket, hot=hot)
     probes = (
-        needles.join(F.broadcast(hot_dim), "ph", "left")
+        needles.join(F.broadcast(dim), key, "left")
         .withColumn(
             "salt",
             F.explode(
                 F.sequence(F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)
             ),
         )
-        .select("conv_id", "ph", "salt")
+        .drop("n_salts")
+    )
+    return salted, probes
+
+
+def _contained_pairs(
+    conv_texts: DataFrame, all_boundaries: bool, max_bucket: int
+) -> DataFrame:
+    needles = _needles(conv_texts)
+    blocks = _suffix_blocks(_suffixes(conv_texts, all_boundaries))
+    salted, probes = _salted_blocks_and_probes(
+        blocks, needles.select("conv_id", "ph"), "ph", max_bucket
     )
 
     cands = (
@@ -249,32 +245,8 @@ def _tail_path_pairs(conv_texts: DataFrame, max_bucket: int) -> DataFrame:
     blocks = _suffix_blocks(_suffixes(conv_texts, all_boundaries=True)).where(
         F.col("turn_k") >= 2
     )
-    sized = blocks.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("ph"))
-    )
-    salted = sized.withColumn(
-        "n_salts", F.ceil(F.col("bucket_n") / max_bucket).cast("int")
-    ).select(
-        "container_id",
-        "turn_k",
-        "ph",
-        F.when(F.col("n_salts") <= 1, F.lit(0))
-        .otherwise(F.pmod(F.xxhash64("container_id", "ph"), F.col("n_salts")))
-        .cast("int")
-        .alias("salt"),
-    )
-    hot_dim = hot_buckets(blocks, ["ph"], max_bucket).select(
-        "ph", F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
-    )
-    probes = (
-        tails.join(F.broadcast(hot_dim), "ph", "left")
-        .withColumn(
-            "salt",
-            F.explode(
-                F.sequence(F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)
-            ),
-        )
-        .select("conv_id", "ph", "salt")
+    salted, probes = _salted_blocks_and_probes(
+        blocks, tails.select("conv_id", "ph"), "ph", max_bucket
     )
     cands = (
         probes.join(salted, ["ph", "salt"])
@@ -345,32 +317,8 @@ def _gram_path_pairs(conv_texts: DataFrame, max_bucket: int) -> DataFrame:
         )
         .distinct()  # one candidate per (container, turn, gram value)
     )
-    sized = grams.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("gh"))
-    )
-    salted = sized.withColumn(
-        "n_salts", F.ceil(F.col("bucket_n") / max_bucket).cast("int")
-    ).select(
-        "container_id",
-        "turn_k",
-        "gh",
-        F.when(F.col("n_salts") <= 1, F.lit(0))
-        .otherwise(F.pmod(F.xxhash64("container_id", "gh"), F.col("n_salts")))
-        .cast("int")
-        .alias("salt"),
-    )
-    hot_dim = hot_buckets(grams, ["gh"], max_bucket).select(
-        "gh", F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
-    )
-    probes = (
-        needles.join(F.broadcast(hot_dim), "gh", "left")
-        .withColumn(
-            "salt",
-            F.explode(
-                F.sequence(F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1)
-            ),
-        )
-        .select("conv_id", "gh", "salt")
+    salted, probes = _salted_blocks_and_probes(
+        grams, needles.select("conv_id", "gh"), "gh", max_bucket
     )
     cands = (
         probes.join(salted, ["gh", "salt"])

@@ -267,6 +267,18 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization counts (alpha runs / digit runs /
+    single marks — same pattern semantics in Java regex and RE2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.bpe_token_count(c).alias("n_subwords"),
+        (TX.bpe_token_count(c) - TX.token_count(c)).alias("extra_vs_ws"),
+    ).orderBy("doc_id")
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     c = F.col("text")
@@ -325,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "char_containment_pairs": _q_char_containment_pairs,
         "token_stats": _q_token_stats,
+        "subword_stats": _q_subword_stats,
         "quality": _q_quality,
         "lang_guess": _q_lang_guess,
         "ann_topk": _q_ann_topk,
@@ -673,6 +686,14 @@ def oracle_sql() -> dict[str, str]:
                    round((length(text) - len(string_split(text, ' ')) + 1)
                          / CAST(len(string_split(text, ' ')) AS DOUBLE), 4)
                        AS avg_token_len
+            FROM documents ORDER BY doc_id
+        """,
+        "subword_stats": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                       AS n_subwords,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                       - len(string_split(text, ' ')) AS extra_vs_ws
             FROM documents ORDER BY doc_id
         """,
         "quality": """

@@ -72,6 +72,22 @@ def lang_guess(text: Column) -> Column:
     )
 
 
+#: BPE-ish pre-tokenization pattern: alpha runs, digit runs, single
+#: non-alphanumeric marks — the classic GPT-2-style split coarsened to a
+#: regex subset with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB): disjoint character classes, no ambiguity, no lookarounds.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Subword-ish tokens via regexp_extract_all (JVM, codegen)."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def fingerprint(text: Column, width: int = 16) -> Column:
     """Document fingerprint: xxhash64 of the `width`-token normalized
     prefix — a cheap near-front rolling-hash stand-in used for fast

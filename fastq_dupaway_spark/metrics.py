@@ -11,16 +11,31 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def cluster_pairs(clusters: DataFrame) -> DataFrame:
+def cluster_pairs(
+    clusters: DataFrame, max_cluster: int | None = None
+) -> DataFrame:
     """(conv_id, rep_conv_id) -> unordered same-cluster pairs (a < b).
     Pairs within a cluster of size m expand to m*(m-1)/2 rows via a
-    self-join on rep — at production scale giant clusters should be
-    sampled before expansion; parity scoring corpora keep clusters small.
-    """
+    self-join on rep.
+
+    max_cluster: at production scale a boilerplate cluster of 10^6
+    members would expand to 5*10^11 pairs; passing a cap expands only the
+    `max_cluster` smallest-id members of each cluster (deterministic
+    sample, pairs per cluster bounded by max_cluster^2/2). Recall scored
+    on the sampled expansion is an unbiased check of cluster AGREEMENT on
+    the sampled members; parity-scoring corpora keep clusters small and
+    use the exact default."""
+    if max_cluster is not None:
+        w = Window.partitionBy("rep_conv_id").orderBy("conv_id")
+        clusters = (
+            clusters.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_cluster)
+            .drop("_rn")
+        )
     a = clusters.select(F.col("rep_conv_id").alias("rep"), F.col("conv_id").alias("x"))
     b = clusters.select(F.col("rep_conv_id").alias("rep"), F.col("conv_id").alias("y"))
     return (

@@ -137,3 +137,19 @@ def test_streaming_lsh_candidates(spark, tmp_path):
     }
     assert ("a1", "a2") in got
     assert not any("zz" in p for p in got)
+
+
+def test_cluster_pairs_max_cluster_cap(spark):
+    """Giant-cluster expansion cap: pairs per cluster bounded by the
+    sampled member count, sample deterministic (smallest ids)."""
+    rows = [(f"g{i:03d}", "g000") for i in range(50)] + [
+        ("s1", "s1"), ("s2", "s2"),
+    ]
+    clusters = spark.createDataFrame(rows, "conv_id string, rep_conv_id string")
+    full = cluster_pairs(clusters).count()
+    assert full == 50 * 49 / 2
+    capped = cluster_pairs(clusters, max_cluster=10)
+    got = capped.collect()
+    assert len(got) == 10 * 9 / 2
+    members = {r["conv_a"] for r in got} | {r["conv_b"] for r in got}
+    assert members == {f"g{i:03d}" for i in range(10)}  # deterministic sample

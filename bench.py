@@ -236,9 +236,16 @@ def main() -> None:
         sh.count()
         # the band self-join's input is localCheckpoint'ed inside
         # lsh_candidates (buckets.salted_self_pairs), so the pandas-UDF
-        # signature stage runs exactly once with no staging here
-        sigs = minhash_signatures(sh, 128)
-        cands = lsh_candidates(sigs, 16, max_bucket=MAX_BUCKET)
+        # signature stage runs exactly once. The candidate join is then
+        # materialized as its OWN action before verify+CC: folding
+        # sigs->bands->join->verify->CC into one AQE mega-DAG was bimodal
+        # (34s or ~120s depending on the runtime join plan AQE picked
+        # while the checkpoint materialized mid-job); staged it is
+        # consistently fast — and it mirrors the checkpointed pipeline
+        cands = lsh_candidates(
+            minhash_signatures(sh, 128), 16, max_bucket=MAX_BUCKET
+        ).persist()
+        cands.count()
         pairs = verify_jaccard_pairs(sh, cands, 0.8).select(
             "conv_a", "conv_b"
         ).persist()
@@ -247,6 +254,7 @@ def main() -> None:
         ).where(F.col("conv_id") != F.col("rep_conv_id")).count()
         found_pairs["minhash"] = pairs
         sh.unpersist()
+        cands.unpersist()
         print(f"# cc_rounds: {cc_stats.get('cc_rounds')}", file=sys.stderr)
 
     run("minhash_lsh_cc", minhash_cc)

@@ -44,7 +44,10 @@ from ..oracle import conv_dup
 
 #: unit separator — sorts below all printable chars, joins turn texts into
 #: the composite (turn0, turn1, ...) sort key (paired composite order,
-#: /root/reference/src/paired_external_sort.hpp:14-34).
+#: /root/reference/src/paired_external_sort.hpp:14-34). The composite key
+#: equals tuple-of-texts order ONLY for text free of C0 control chars —
+#: the invariant the P9 quarantine stage (canonicalize.validate_transcripts)
+#: enforces at pipeline ingest; run it first on untrusted input.
 _US = "\x1f"
 
 _SCAN_SCHEMA = T.StructType(

@@ -22,35 +22,26 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def run_level(cpus: int, sf_dir: str, replicas: int, reps: int = 2) -> dict:
-    """Best-of-reps: the sandbox VM shows 2-4x run-to-run noise on
-    identical configs (shared-host jitter), so each level runs `reps`
-    times and the minimum wall time is the measurement.
-
-    Each level is confined to exactly `cpus` physical cores with taskset —
-    plain local[N] would let GC/JIT/python workers spill onto the other
-    idle cores, making the small-N leg unfairly fast and understating the
-    true N->4N scaling of an N-machine-slice executor."""
+def run_once(cpus: int, sf_dir: str, replicas: int) -> dict:
+    """One taskset-confined bench subprocess — plain local[N] would let
+    GC/JIT/python workers spill onto the other idle cores, making the
+    small-N leg unfairly fast and understating the true N->4N scaling of
+    an N-machine-slice executor."""
     env = os.environ.copy()
     env.update(
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_SF_DIR=sf_dir,
         BENCH_REPLICAS=str(replicas),
     )
-    best = None
-    for _ in range(reps):
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}", sys.executable, str(REPO / "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        res = json.loads(line)
-        if best is None or res["value"] < best["value"]:
-            best = res
-    return best
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
 
 
 def main() -> None:
@@ -59,9 +50,25 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    reps = int(os.environ.get("SCALING_REPS", "3"))
 
-    low = run_level(n, sf_dir, replicas)
-    high = run_level(4 * n, sf_dir, replicas)
+    # INTERLEAVED best-of-reps: this shared-host VM's 2-4x noise arrives
+    # in multi-minute windows (a whole leg run inside one is uniformly
+    # slow), so alternating low/high legs exposes both levels to similar
+    # conditions and the per-level minimum dodges the bad windows.
+    low = high = None
+    for i in range(reps):
+        r_low = run_once(n, sf_dir, replicas)
+        r_high = run_once(4 * n, sf_dir, replicas)
+        print(
+            f"# rep {i}: T_{n}={r_low['value']}s T_{4 * n}={r_high['value']}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        if low is None or r_low["value"] < low["value"]:
+            low = r_low
+        if high is None or r_high["value"] < high["value"]:
+            high = r_high
     t_low, t_high = low["value"], high["value"]
     efficiency = round((t_low / t_high) / 4, 3)
     result = {

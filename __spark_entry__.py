@@ -94,31 +94,46 @@ def _q_loose_pair_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P9 canonicalization/quarantine: control chars injected into turn 0
-    of doc_id%11==0 conversations (the test corpus is clean, so the query
-    plants its own corruption identically on both engines), then the
-    validate_transcripts split; returns per-quarantined-conversation row
-    and bad-row counts."""
+    """P9 canonicalization/quarantine: the test corpus is clean, so the
+    query plants its own dirt identically on both engines — a \\t into
+    turn 0 of doc_id%11==0 conversations (NORMALIZABLE whitespace: stays
+    in the pipeline with \\t -> space) and a \\x01 into turn 0 of
+    doc_id%13==0 conversations (non-normalizable control char: the whole
+    conversation is quarantined). Returns one row per affected
+    conversation: (conv_id, status, n_rows, n_bad)."""
     from fastq_dupaway_spark.canonicalize import validate_transcripts
 
     t = build_transcripts(spark, sf_dir)
     docnum = F.substring("conv_id", 1, 8).cast("int")
+    splice = lambda ch: F.concat(
+        F.substring("text", 1, 5), F.lit(ch), F.expr("substr(text, 6)")
+    )
     injected = t.withColumn(
         "text",
-        F.when(
-            (docnum % 11 == 0) & (F.col("turn_idx") == 0),
-            F.concat(
-                F.substring("text", 1, 5), F.lit("\t"), F.expr("substr(text, 6)")
-            ),
-        ).otherwise(F.col("text")),
+        F.when((docnum % 11 == 0) & (F.col("turn_idx") == 0), splice("\t"))
+        .when((docnum % 13 == 0) & (F.col("turn_idx") == 0), splice("\x01"))
+        .otherwise(F.col("text")),
     )
-    _clean, quarantined = validate_transcripts(injected)
-    return (
+    clean, quarantined = validate_transcripts(injected)
+    quar = (
         quarantined.groupBy("conv_id")
+        .agg(F.count("*").alias("n_rows"), F.count("reason").alias("n_bad"))
+        .withColumn("status", F.lit("quarantined"))
+    )
+    orig = injected.select("conv_id", "turn_idx", F.col("text").alias("orig"))
+    norm = (
+        clean.join(orig, ["conv_id", "turn_idx"])
+        .groupBy("conv_id")
         .agg(
             F.count("*").alias("n_rows"),
-            F.count("reason").alias("n_bad"),
+            F.sum((F.col("text") != F.col("orig")).cast("int")).alias("n_bad"),
         )
+        .where(F.col("n_bad") > 0)
+        .withColumn("status", F.lit("normalized"))
+    )
+    return (
+        quar.unionByName(norm)
+        .select("conv_id", "status", "n_rows", "n_bad")
         .orderBy("conv_id")
     )
 
@@ -501,20 +516,34 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN CAST(substr(conv_id, 1, 8) AS INTEGER) % 11 = 0
                                  AND turn_idx = 0
                             THEN substr(text, 1, 5) || chr(9) || substr(text, 6)
+                            WHEN CAST(substr(conv_id, 1, 8) AS INTEGER) % 13 = 0
+                                 AND turn_idx = 0
+                            THEN substr(text, 1, 5) || chr(1) || substr(text, 6)
                             ELSE text END AS text
                 FROM transcripts
             ),
-            flagged AS (
+            normed AS (
+                SELECT conv_id, turn_idx, text AS orig,
+                       translate(text, chr(9) || chr(10) || chr(13),
+                                 '   ') AS ntext
+                FROM injected
+            ),
+            conv AS (
                 SELECT conv_id,
                        count(*) AS n_rows,
                        count(*) FILTER (
-                           WHERE text IS NULL
-                              OR regexp_matches(text, '[\\x00-\\x1f]')
-                       ) AS n_bad
-                FROM injected GROUP BY conv_id
+                           WHERE ntext IS NULL OR regexp_matches(
+                               ntext, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+                       ) AS n_quar,
+                       count(*) FILTER (WHERE ntext <> orig) AS n_norm
+                FROM normed GROUP BY conv_id
             )
-            SELECT conv_id, n_rows, n_bad FROM flagged
-            WHERE n_bad > 0 ORDER BY conv_id
+            SELECT conv_id, 'quarantined' AS status, n_rows, n_quar AS n_bad
+            FROM conv WHERE n_quar > 0
+            UNION ALL
+            SELECT conv_id, 'normalized' AS status, n_rows, n_norm AS n_bad
+            FROM conv WHERE n_quar = 0 AND n_norm > 0
+            ORDER BY conv_id
         """,
         "hamming_pairs": _T + _HAMMING_PAIRS + """
             SELECT conv_a, conv_b FROM verified ORDER BY conv_a, conv_b

@@ -22,10 +22,30 @@ from pyspark.sql import functions as F
 #: cannot appear in hex sha output.
 _SEP = "|"
 
-#: C0 control characters — corrupt in transcript text, and unsafe for the
-#: engine's composite keys (\x1f joins turn texts in sort/containment keys,
-#: \n/\t would change composite sort order vs the tuple order).
-_CONTROL_RE = "[\\x00-\\x1f]"
+#: C0 control chars that CANNOT be normalized away — corrupt in transcript
+#: text and unsafe for the engine's composite keys (\x1f joins turn texts
+#: in sort/containment keys). \t/\n/\r are NOT here: real transcript text
+#: (code blocks, multi-line answers) routinely contains them, so they are
+#: normalized to spaces instead of quarantining the conversation.
+_CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+#: normalized-to-space whitespace: tab, newline, carriage return
+_WS_FROM = "\t\n\r"
+_WS_TO = "   "
+
+
+def normalize_whitespace(transcripts: DataFrame) -> DataFrame:
+    """Canonicalize \\t/\\n/\\r to single spaces (narrow projection).
+
+    Preserves the composite-key invariant (post-normalization text is free
+    of chars below \\x1f except the ones _CONTROL_RE quarantines), keeps
+    multi-line answers/code blocks in the pipeline instead of dropping
+    them, and makes tokenization treat newlines as token breaks — the
+    behavior a whitespace tokenizer owes multi-line text anyway.
+    """
+    return transcripts.withColumn(
+        "text", F.translate(F.col("text"), _WS_FROM, _WS_TO)
+    )
 
 
 def validate_transcripts(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -34,23 +54,27 @@ def validate_transcripts(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
     Reference analog: the alphabet validator that ABORTS on any
     out-of-alphabet byte (/root/reference/src/seq_utils.cpp:3-21). A
     distributed pipeline must not abort on one dirty row at 10^12-turn
-    scale: rows whose text is NULL or contains C0 control characters are
-    routed to a quarantine table instead, with a `reason` on the offending
-    rows. Whole CONVERSATIONS are quarantined (one corrupt turn poisons
-    every composite key the detectors build from the conversation);
-    innocent sibling rows carry reason NULL.
+    scale. Text is first canonicalized (\\t/\\n/\\r -> spaces — normal in
+    real transcripts, not corruption); rows whose text is NULL or still
+    contains non-normalizable control characters are routed to a
+    quarantine table with a `reason` on the offending rows. Whole
+    CONVERSATIONS are quarantined (one corrupt turn poisons every
+    composite key the detectors build from the conversation); innocent
+    sibling rows carry reason NULL.
 
     Both outputs are narrow derivations of the input (a filter-join on the
     small bad-id set — broadcast at any scale where corruption is rare).
+    The clean side carries the NORMALIZED text.
     """
+    normalized = normalize_whitespace(transcripts)
     reason = F.when(F.col("text").isNull(), F.lit("null_text")).when(
         F.col("text").rlike(_CONTROL_RE), F.lit("control_chars")
     )
-    flagged = transcripts.withColumn("reason", reason)
+    flagged = normalized.withColumn("reason", reason)
     bad_ids = (
         flagged.where(F.col("reason").isNotNull()).select("conv_id").distinct()
     )
-    clean = transcripts.join(bad_ids, "conv_id", "left_anti")
+    clean = normalized.join(bad_ids, "conv_id", "left_anti")
     quarantined = flagged.join(bad_ids, "conv_id", "left_semi")
     return clean, quarantined
 
@@ -97,10 +121,22 @@ def conversation_signatures(transcripts: DataFrame) -> DataFrame:
 def conversation_texts(transcripts: DataFrame) -> DataFrame:
     """(conv_id, texts: array<string>) with texts in turn order — feeds the
     parity scan and the small-scale detectors' verify stages. Carries full
-    text, so only used where the stage genuinely needs payload bytes."""
+    text, so only used where the stage genuinely needs payload bytes.
+
+    NULL turn text is coalesced to '' so the array NEVER holds NULL
+    elements: the parity scan round-trips texts through a concat_ws
+    composite key, and concat_ws silently DROPS null array elements — a
+    NULL turn would be compared as if it didn't exist. (The quarantine
+    pre-stage already routes null-text conversations out; the coalesce
+    makes the invariant hold even when quarantine is disabled or
+    conversation_texts is called directly on unvalidated input.)"""
     return transcripts.groupBy("conv_id").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("turn_idx", F.coalesce("text", F.lit("")).alias("text"))
+                )
+            ),
             lambda s: s["text"],
         ).alias("texts")
     )

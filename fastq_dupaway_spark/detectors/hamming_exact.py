@@ -35,9 +35,15 @@ def _chunk_blocks(transcripts: DataFrame, d: int) -> DataFrame:
     """(conv_id, n_turns, len0, chunk_id, chunk_text) blocking rows.
 
     chunk i covers [floor(i*len/n), floor((i+1)*len/n)) — same arithmetic
-    as the oracle SQL. len0 <= d emits ONE sentinel row (chunk_id -1,
-    empty chunk_text): blocking on (n_turns, len0) alone, since equal
-    lengths <= d are already within distance d on turn 0.
+    as the oracle SQL. len0 <= d emits d+1 sentinel rows (chunk_id -1..
+    -(d+1), empty chunk_text): blocking on (n_turns, len0) alone, since
+    equal lengths <= d are already within distance d on turn 0. The d+1
+    DISTINCT sentinel chunk_ids matter only for hot blocks: the salt hash
+    in buckets.py includes chunk_id, so a hot (n_turns, len0<=d) block is
+    cut d+1 orthogonal ways (like the long-text chunk bands) and connected
+    components recovers hot clusters; a single sentinel row would give the
+    block exactly one salt cut and lose hot-cluster recall in that corner.
+    Candidate SET is unchanged outside hot blocks (pairs dedup).
     """
     n_chunks = d + 1
     turn0 = transcripts.where(F.col("turn_idx") == 0).select("conv_id", "text")
@@ -49,7 +55,7 @@ def _chunk_blocks(transcripts: DataFrame, d: int) -> DataFrame:
         "conv_id",
         "n_turns",
         "len0",
-        F.lit(-1).alias("chunk_id"),
+        F.explode(F.sequence(F.lit(-n_chunks), F.lit(-1))).alias("chunk_id"),
         F.lit("").alias("chunk_text"),
     )
     long = (

@@ -115,8 +115,11 @@ def minhash_signatures(
 
 def _banded(signatures: DataFrame, n_bands: int) -> DataFrame:
     """(conv_id, band_id, band_key): xxhash64 of each signature slice.
-    Requires k % n_bands == 0 — enforced, since a truncating slice would
-    silently compare bands of unequal width."""
+    Requires k % n_bands == 0, else the truncating slice would silently
+    ignore the trailing k % n_bands signature rows. k is carried in the
+    array, not as a parameter, so the guard lives at both config
+    boundaries: minhash_pairs (direct API) and DedupConfig.__post_init__
+    (the checkpointed pipeline path that calls lsh_candidates directly)."""
     return signatures.select(
         "conv_id",
         F.explode(

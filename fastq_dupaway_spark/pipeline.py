@@ -72,6 +72,16 @@ class DedupConfig:
     max_bucket: int = 2000
     seed: int = 42
 
+    def __post_init__(self):
+        # guard at the config boundary: the checkpointed pipeline calls
+        # lsh_candidates directly, where a non-divisible k would silently
+        # truncate the trailing signature rows (minhash._banded)
+        if self.minhash_k % self.minhash_bands:
+            raise ValueError(
+                f"minhash_k={self.minhash_k} must be a multiple of "
+                f"minhash_bands={self.minhash_bands}"
+            )
+
     def params(self) -> dict:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}
 

@@ -72,6 +72,39 @@ _PAIR_SCHEMA = "conv_a string, conv_b string"
 _STATE_SCHEMA = "seen array<string>"
 
 
+def _bucket_update(max_state: int, timeout_minutes: int):
+    """Stateful update fn for one LSH bucket (module-level factory so the
+    timeout path is unit-testable with a fake GroupState).
+
+    Timeout invocations (ProcessingTimeTimeout fired on an idle bucket)
+    arrive with an EMPTY batch iterator and state.hasTimedOut=True: the
+    bucket's state must be REMOVED, not re-armed — calling update() +
+    setTimeoutDuration() there would resurrect every idle bucket forever
+    and state would grow without bound."""
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen: list[str] = list(state.get[0]) if state.exists else []
+        pairs_a: list[str] = []
+        pairs_b: list[str] = []
+        for pdf in pdfs:
+            for cid in pdf["conv_id"]:
+                for other in seen:
+                    if other != cid:
+                        pairs_a.append(min(other, cid))
+                        pairs_b.append(max(other, cid))
+                if len(seen) < max_state and cid not in seen:
+                    seen.append(cid)
+        state.update((seen,))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if pairs_a:
+            yield pd.DataFrame({"conv_a": pairs_a, "conv_b": pairs_b})
+
+    return update
+
+
 def streaming_minhash_bands(
     conv_stream: DataFrame, n: int = 3, k: int = 32, n_bands: int = 8, seed: int = 42
 ) -> DataFrame:
@@ -152,23 +185,7 @@ def streaming_lsh_candidates(
     Jaccard in the nightly batch, which remains the authority) filters
     false bucket collisions. Output: (conv_a, conv_b) append stream.
     """
-    def update(key, pdfs, state):
-        seen: list[str] = list(state.get[0]) if state.exists else []
-        pairs_a: list[str] = []
-        pairs_b: list[str] = []
-        for pdf in pdfs:
-            for cid in pdf["conv_id"]:
-                for other in seen:
-                    if other != cid:
-                        pairs_a.append(min(other, cid))
-                        pairs_b.append(max(other, cid))
-                if len(seen) < max_state and cid not in seen:
-                    seen.append(cid)
-        state.update((seen,))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        if pairs_a:
-            yield pd.DataFrame({"conv_a": pairs_a, "conv_b": pairs_b})
-
+    update = _bucket_update(max_state, timeout_minutes)
     bands = streaming_minhash_bands(conv_stream, n, k, n_bands, seed)
     # NOTE: a pair colliding in several bands is emitted once per band —
     # deduplication is left to the consumer (the batch verify dedups

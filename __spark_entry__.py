@@ -181,9 +181,10 @@ def _q_char_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-level generalized substring containment (SURVEY §7.1 M4):
     conv A's composite occurs ANYWHERE in conv B's composite — boundary
     occurrences + mid-turn multi-turn needles (suffix-block tail path) +
-    mid-turn single-turn needles >= 16 chars (rolling-gram index). The
-    oracle brute-forces position() over composite pairs with the same
-    short-single-turn-needle boundary-only rule."""
+    mid-turn single-turn needles >= 16 chars (rolling-gram index) + short
+    single-turn needles (broadcast locate probe; the round-2 boundary-only
+    carve-out is gone). The oracle brute-forces strpos() over ALL
+    composite pairs — no carve-out on either side."""
     from fastq_dupaway_spark.detectors.containment import char_containment_pairs
 
     t = build_transcripts(spark, sf_dir)
@@ -310,6 +311,38 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
+def _q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via the REAL pipeline detector
+    (hyperplane LSH buckets -> salted candidates -> exact cosine verify).
+    The test embeddings are near-random (max pairwise cos ~0.51), so the
+    query plants its own near-dups identically on both engines: for
+    vec_id%9==0, a twin vector v' = v + 0.125 * rot1(v) (double
+    arithmetic both sides; cos(v, v') ~0.99). The oracle is BRUTE-FORCE
+    cosine >= t over all pairs — a green row therefore certifies the LSH
+    path's candidate recall is 1.0 on this corpus, not just verify
+    precision."""
+    from fastq_dupaway_spark.detectors.semantic import semantic_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = emb.select(
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("conv_id"),
+        F.col("v").alias("embedding"),
+    )
+    twins = emb.where(F.col("vec_id") % 9 == 0).select(
+        F.concat(F.lit("t"), F.col("vec_id").cast("string")).alias("conv_id"),
+        F.expr(
+            "transform(v, (x, i) -> x + 0.125D * "
+            "element_at(v, pmod(i + 1, size(v)) + 1))"
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(twins)
+    return semantic_pairs(
+        allv, threshold=0.9, n_planes=8, n_tables=6, dim=64, seed=42
+    ).orderBy("conv_a", "conv_b")
+
+
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level SimHash bit-distance pairs (engine-hash-dependent
     signature — rows-only check); the reference char-Hamming relation is
@@ -356,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "lang_guess": _q_lang_guess,
         "ann_topk": _q_ann_topk,
+        "semantic_pairs": _q_semantic_pairs,
         "media_dedup": _q_media_dedup,
         "lineitem_pricing": _q_lineitem_pricing,
         "nation_order_volume": _q_nation_order_volume,
@@ -626,30 +660,14 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS m
                 FROM transcripts GROUP BY conv_id
             ),
-            sfx AS (
-                SELECT a.conv_id AS container_id,
-                       string_agg(b.text, chr(31) ORDER BY b.turn_idx) AS suffix
-                FROM transcripts a
-                JOIN transcripts b
-                  ON a.conv_id = b.conv_id AND b.turn_idx >= a.turn_idx
-                GROUP BY a.conv_id, a.turn_idx
-            ),
             pairs AS (
-                -- eligible needles: anywhere in the composite
+                -- the FULL relation: needle anywhere in the composite
+                -- (no short-needle carve-out; the Spark side serves short
+                -- single-turn needles via the broadcast locate() probe)
                 SELECT least(a.conv_id, b.conv_id) AS conv_a,
                        greatest(a.conv_id, b.conv_id) AS conv_b
                 FROM ctext a JOIN ctext b ON a.conv_id != b.conv_id
                 WHERE strpos(b.fulltxt, a.fulltxt) > 0
-                  AND (a.m >= 2 OR length(a.fulltxt) >= 16)
-                UNION
-                -- short single-turn needles: boundary occurrences only
-                SELECT least(n.conv_id, s.container_id),
-                       greatest(n.conv_id, s.container_id)
-                FROM (SELECT conv_id, fulltxt FROM ctext
-                      WHERE m = 1 AND length(fulltxt) < 16) n
-                JOIN sfx s
-                  ON n.conv_id != s.container_id
-                 AND starts_with(s.suffix, n.fulltxt)
             )
             SELECT DISTINCT conv_a, conv_b FROM pairs
             ORDER BY conv_a, conv_b
@@ -766,5 +784,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, sim FROM ranked
             WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "semantic_pairs": """
+            WITH base AS (
+                SELECT 'v' || CAST(vec_id AS VARCHAR) AS conv_id,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            src AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id % 9 = 0
+            ),
+            twin AS (
+                SELECT 't' || CAST(vec_id AS VARCHAR) AS conv_id,
+                       list_transform(range(1, len(v) + 1),
+                           i -> v[CAST(i AS INTEGER)]
+                                + 0.125 * v[CAST(i % len(v) AS INTEGER) + 1])
+                           AS v
+                FROM src
+            ),
+            allv AS (
+                SELECT * FROM base UNION ALL SELECT * FROM twin
+            ),
+            -- brute force: certifies the Spark LSH path found EVERY pair
+            pairs AS (
+                SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                       round(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+                FROM allv a JOIN allv b ON a.conv_id < b.conv_id
+            )
+            SELECT conv_a, conv_b, cos FROM pairs
+            WHERE cos >= 0.9 ORDER BY conv_a, conv_b
         """,
     }

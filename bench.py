@@ -32,11 +32,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import functions as F
 
+import numpy as np
+import pandas as pd
+
 from fastq_dupaway_spark.canonicalize import conversation_texts
 from fastq_dupaway_spark.clustering import clusters_with_singletons
 from fastq_dupaway_spark.corpus import build_transcripts
 from fastq_dupaway_spark.detectors import exact
-from fastq_dupaway_spark.detectors.containment import containment_pairs
+from fastq_dupaway_spark.detectors.containment import (
+    char_containment_pairs,
+    containment_pairs,
+)
+from fastq_dupaway_spark.detectors.semantic import semantic_pairs
 from fastq_dupaway_spark.detectors.hamming_exact import hamming_pairs_exact
 from fastq_dupaway_spark.detectors.minhash import (
     lsh_candidates,
@@ -152,6 +159,75 @@ def planted_pairs(spark, sf_dir: str, replicas: int):
     return pairs.where(~_is_hot(F.col("conv_a")) & ~_is_hot(F.col("conv_b")))
 
 
+def conv_embeddings(spark, t, sf_dir: str):
+    """Deterministic 64-d embedding per bench conversation (no external
+    data: derived from embeddings.parquet base vectors + the conv_id).
+
+    anchor(doc, replica) = base[doc % B] cyclically rolled by a
+    (doc, replica)-dependent shift — rolls of a random unit vector are
+    near-orthogonal, so docs and replicas stay mutually unrelated (work
+    scales linearly in replicas, mirroring the text rewrite). Variants 0/1
+    of a doc share the anchor plus a SMALL perturbation (planted semantic
+    near-pair, cos ~0.997); variants 2/3 get a LARGE one (unrelated).
+    Planted-hot conversations all share one constant vector — the semantic
+    analog of the boilerplate hot cluster, overflowing the bucket cap.
+    """
+    import pyarrow.parquet as pq
+
+    base = np.stack(
+        pq.read_table(f"{sf_dir}/embeddings.parquet")
+        .to_pandas()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    n_base, dim = base.shape
+    hot_vec = base[0]
+
+    @F.pandas_udf("array<double>")
+    def emb(conv_ids: pd.Series, hots: pd.Series) -> pd.Series:
+        doc = conv_ids.str.slice(0, 8).astype(int).to_numpy()
+        var = conv_ids.str.slice(9, 10).astype(int).to_numpy()
+        rep = (
+            conv_ids.str.extract(r"#(\d+)$")[0].fillna(0).astype(int).to_numpy()
+        )
+        idx = np.arange(dim)[None, :]
+        anchors = np.take_along_axis(
+            base[doc % n_base], (idx + ((doc * 7 + rep * 11) % dim)[:, None]) % dim, 1
+        )
+        pert = np.take_along_axis(
+            base[(doc * 13 + 5) % n_base],
+            (idx + ((var * 17 + rep * 3) % dim)[:, None]) % dim,
+            1,
+        )
+        eps = np.where(var < 2, 0.05, 0.9)[:, None]
+        v = anchors + eps * pert
+        v[hots.to_numpy()] = hot_vec
+        return pd.Series([row.tolist() for row in v])
+
+    return t.select("conv_id").distinct().select(
+        "conv_id", emb(F.col("conv_id"), _is_hot(F.col("conv_id"))).alias("embedding")
+    )
+
+
+def planted_semantic_pairs(t):
+    """Expected semantic near-pairs: variants 0 and 1 of the same
+    (doc, replica) — they share an anchor with small perturbations by
+    construction (conv_embeddings). Hot conversations excluded (their
+    vector is overwritten)."""
+    ids = t.select("conv_id").distinct().select(
+        "conv_id",
+        F.concat(
+            F.substring("conv_id", 1, 8), F.substring("conv_id", 11, 99)
+        ).alias("grp"),  # doc + replica suffix, variant digit dropped
+        F.substring("conv_id", 10, 1).alias("var"),
+    ).where(~_is_hot(F.col("conv_id")))
+    v0 = ids.where(F.col("var") == "0").select("grp", F.col("conv_id").alias("a"))
+    v1 = ids.where(F.col("var") == "1").select("grp", F.col("conv_id").alias("b"))
+    return v0.join(v1, "grp").select(
+        F.least("a", "b").alias("conv_a"), F.greatest("a", "b").alias("conv_b")
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -223,6 +299,35 @@ def main() -> None:
         found_pairs["containment"] = p
 
     run("containment_pairs", containment)
+
+    run(
+        "char_containment_pairs",
+        lambda: char_containment_pairs(ct, max_bucket=MAX_BUCKET).count(),
+    )
+
+    sem_holder = {}
+
+    def semantic():
+        emb = conv_embeddings(spark, t, sf_dir).persist()
+        emb.count()
+        p = semantic_pairs(
+            emb, threshold=0.9, n_planes=20, n_tables=8, dim=64,
+            max_bucket=MAX_BUCKET,
+        ).persist()
+        p.count()
+        expected = planted_semantic_pairs(t)
+        hit = expected.join(p, ["conv_a", "conv_b"], "left_semi").count()
+        total = expected.count()
+        sem_holder["recall_semantic"] = round(hit / max(total, 1), 5)
+        sem_holder["semantic_pairs_expected"] = total
+        emb.unpersist()
+        p.unpersist()
+        print(
+            f"# recall_semantic: {sem_holder['recall_semantic']} ({hit}/{total})",
+            file=sys.stderr,
+        )
+
+    run("semantic_pairs", semantic)
 
     cc_stats: dict = {}
 
@@ -320,6 +425,8 @@ def main() -> None:
                 "expected_pairs": recall_holder.get("expected_pairs"),
                 "recall_vs_reference": recall_holder.get("recall_vs_reference"),
                 "reference_pairs": recall_holder.get("reference_pairs"),
+                "recall_semantic": sem_holder.get("recall_semantic"),
+                "semantic_pairs_expected": sem_holder.get("semantic_pairs_expected"),
                 "cc_rounds": cc_stats.get("cc_rounds"),
             }
         )

@@ -64,7 +64,38 @@ class CheckpointStore:
         df.write.mode("overwrite").parquet(self._data_path(stage))
 
     def _read_table(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._data_path(stage))
+        # _schema_hint is set by materialize right after the write (the
+        # just-written schema is known): skipping parquet schema inference
+        # saves a 1-task metadata job per stage. Resume reads infer.
+        hint = getattr(self, "_schema_hint", None)
+        reader = self.spark.read.schema(hint) if hint else self.spark.read
+        return reader.parquet(self._data_path(stage))
+
+    def _lineage(self, stage: str) -> list[dict] | None:
+        """Per-partition lineage rows for a just-written stage, METADATA-
+        ONLY: parquet footer row counts read driver-side — no second Spark
+        job over the data (round-2 ran a groupBy(spark_partition_id)
+        re-scan here, doubling checkpoint read I/O per stage; at 100 TB
+        that is hours of wasted scan for a metrics row). Part of the
+        storage seam: an Iceberg override reads the same numbers from the
+        snapshot's manifest files. Returns None if footers are not
+        available (e.g. a subclass storage without local files), in which
+        case materialize falls back to one aggregation pass."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(self._data_path(stage), "*.parquet")))
+        if not files:
+            return None
+        return [
+            {
+                "partition_id": i,
+                "rows": pq.ParquetFile(f).metadata.num_rows,
+                "file": os.path.basename(f),
+            }
+            for i, f in enumerate(files)
+        ]
 
     # -- public API -------------------------------------------------------
     def manifest(self, stage: str) -> dict | None:
@@ -111,13 +142,21 @@ class CheckpointStore:
         self._write_table(df, stage)
         if observe:
             observed = {k: v for k, v in obs.get.items()}
-        out = self._read_table(stage)
-        per_part = [
-            {"partition_id": r["pid"], "rows": r["n"]}
-            for r in out.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("n"))
-            .collect()
-        ]
+        self._schema_hint = df.schema
+        try:
+            out = self._read_table(stage)
+        finally:
+            self._schema_hint = None
+        # ONE Spark job per materialize: the write IS the only pass
+        # (observed counters ride it); lineage comes from storage metadata
+        per_part = self._lineage(stage)
+        if per_part is None:  # storage without footer metadata: one agg pass
+            per_part = [
+                {"partition_id": r["pid"], "rows": r["n"]}
+                for r in out.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("n"))
+                .collect()
+            ]
         rows = sum(p["rows"] for p in per_part)
         metrics = {
             "wall_sec": round(time.monotonic() - t0, 3),

@@ -345,8 +345,67 @@ def _gram_path_pairs(conv_texts: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
+#: deterministic cap on the broadcast short-needle probe set; the
+#: remainder is surfaced by unindexed_short_needles, never silently lost
+SHORT_NEEDLE_CAP = 100_000
+
+
+def _short_needles(conv_texts: DataFrame) -> DataFrame:
+    """Single-turn conversations shorter than GRAM_LEN chars (non-empty):
+    the one needle class the gram index cannot block."""
+    return (
+        conv_texts.where(F.size("texts") == 1)
+        .select("conv_id", F.element_at("texts", 1).alias("full"))
+        .where((F.length("full") >= 1) & (F.length("full") < GRAM_LEN))
+    )
+
+
+def _short_needle_pairs(
+    conv_texts: DataFrame, max_short: int = SHORT_NEEDLE_CAP
+) -> DataFrame:
+    """Mid-turn occurrences of single-turn needles SHORTER than GRAM_LEN
+    (closes the round-2 documented carve-out).
+
+    A short needle is an entire CONVERSATION under 16 chars — a degenerate
+    class that is tiny on any real corpus, so the needle set is BROADCAST
+    and probed against each container turn with one JVM locate(): exact
+    for every length 1..GRAM_LEN-1 in a single corpus scan, no per-length
+    gram index (a length-stratified index would re-scan turn bytes once
+    per distinct short length present). Cost is O(turns x n_short) locate
+    probes with NO shuffle of the corpus (broadcast nested-loop join);
+    bounded by the deterministic smallest-conv_id cap max_short — the
+    remainder is surfaced by unindexed_short_needles and counted in the
+    pipeline manifest rather than silently dropped.
+    """
+    short = F.broadcast(_short_needles(conv_texts).orderBy("conv_id").limit(max_short))
+    turns = conv_texts.select(
+        F.col("conv_id").alias("container_id"), F.explode("texts").alias("turn")
+    )
+    return (
+        turns.join(
+            short,
+            (F.col("conv_id") != F.col("container_id"))
+            & (F.expr("locate(full, turn)") > 0),
+        )
+        .select(
+            F.least("conv_id", "container_id").alias("conv_a"),
+            F.greatest("conv_id", "container_id").alias("conv_b"),
+        )
+    )
+
+
+def unindexed_short_needles(
+    conv_texts: DataFrame, max_short: int = SHORT_NEEDLE_CAP
+) -> DataFrame:
+    """Quarantine surface: short needles beyond the broadcast cap (empty
+    on any non-pathological corpus)."""
+    return _short_needles(conv_texts).orderBy("conv_id").offset(max_short)
+
+
 def char_containment_pairs(
-    conv_texts: DataFrame, max_bucket: int = 4000
+    conv_texts: DataFrame,
+    max_bucket: int = 4000,
+    max_short: int = SHORT_NEEDLE_CAP,
 ) -> DataFrame:
     """(conv_a, conv_b): conv_a's canonical composite text occurs ANYWHERE
     in conv_b's composite text (char-level generalized substring
@@ -356,12 +415,16 @@ def char_containment_pairs(
     boundaries): boundary-aligned occurrences come from containment_pairs;
     mid-turn occurrences of multi-turn needles from the tail path (suffix
     blocks reused, |turns|*PREFIX_LEN id rows); mid-turn occurrences of
-    single-turn needles (len >= GRAM_LEN) from the rolling-gram position
-    index (O(total_bytes) id rows — priced like a distributed suffix
-    array, which it discretizes). Single-turn needles shorter than
-    GRAM_LEN match at turn boundaries only (documented).
+    single-turn needles >= GRAM_LEN from the rolling-gram position index
+    (O(total_bytes) id rows — priced like a distributed suffix array,
+    which it discretizes); single-turn needles SHORTER than GRAM_LEN from
+    the broadcast locate() probe (capped + surfaced, see
+    _short_needle_pairs — the round-2 boundary-only carve-out is gone).
     """
     base = containment_pairs(conv_texts, max_bucket)
     tail = _tail_path_pairs(conv_texts, max_bucket)
     gram = _gram_path_pairs(conv_texts, max_bucket)
-    return base.unionByName(tail).unionByName(gram).distinct()
+    short = _short_needle_pairs(conv_texts, max_short)
+    return (
+        base.unionByName(tail).unionByName(gram).unionByName(short).distinct()
+    )

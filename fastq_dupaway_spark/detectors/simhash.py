@@ -92,6 +92,128 @@ def conversation_simhashes(conv_texts: DataFrame) -> DataFrame:
     return hashed.select("conv_id", sim_udf(F.col("hs")).alias("simhash"))
 
 
+def token_idf_weights(
+    conv_texts: DataFrame, top_k: int = 1 << 15
+) -> tuple[list[tuple[int, float]], float]:
+    """IDF weights for the top_k most document-frequent token hashes.
+
+    Returns ([(token_hash, idf)...] sorted by hash, default_idf) where
+    idf = ln(n_convs / df) and default_idf = ln(n_convs) applies to every
+    token OUTSIDE the top-k (rare tokens all sit near the idf ceiling, so
+    truncating the tail loses almost nothing while keeping the weight
+    table broadcastable: top-k rows vs a 10^9-token vocabulary at corpus
+    scale). One aggregation job over (conv_id, token_hash) distinct pairs;
+    at 100 TB this runs on a sample — frequency ranks of HEAVY tokens are
+    stable under sampling, and only heavy tokens matter here.
+    """
+    import math
+
+    hashed = conv_texts.select(
+        "conv_id",
+        F.explode(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "texts",
+                        lambda t: F.transform(
+                            F.split(F.coalesce(t, F.lit("")), " "),
+                            lambda tok: F.xxhash64(tok),
+                        ),
+                    )
+                )
+            )
+        ).alias("th"),
+    )
+    n_convs = conv_texts.count()
+    rows = (
+        hashed.groupBy("th")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("th"))
+        .limit(top_k)
+        .collect()
+    )
+    default_idf = math.log(max(n_convs, 2))
+    weights = sorted(
+        (r["th"], math.log(max(n_convs, 2) / r["df"])) for r in rows
+    )
+    return weights, default_idf
+
+
+def conversation_simhashes_weighted(
+    conv_texts: DataFrame,
+    weights: list[tuple[int, float]],
+    default_idf: float,
+) -> DataFrame:
+    """(conv_id, simhash): 64-bit SimHash with tf-idf token weighting
+    (Charikar/Manku — each token votes its weight, not 1).
+
+    Unweighted simhash over natural text COMPRESSES distances: boilerplate
+    tokens shared by every conversation dominate the bit votes, so
+    unrelated conversations land a few bits apart and band selectivity
+    collapses (see test_weighted_simhash_separates_boilerplate). Weighting
+    by idf zeroes the boilerplate's influence and restores discrimination.
+
+    Same narrow shuffle-free plan as conversation_simhashes (JVM xxhash64
+    inside transform lambdas, one vectorized Arrow kernel); the weight
+    table rides the UDF closure as two sorted numpy arrays (top-k rows —
+    a broadcast, not a join), looked up via searchsorted per batch.
+    """
+    # hashes arrive as SIGNED 64-bit (xxhash64); the kernel compares them
+    # as uint64, so the lookup table must be sorted in uint64 order — a
+    # signed sort would break searchsorted silently
+    th_arr = np.asarray([t for t, _ in weights], dtype=np.int64).astype(
+        np.uint64
+    )
+    w_arr = np.asarray([w for _, w in weights], dtype=np.float64)
+    order = np.argsort(th_arr)
+    th_arr, w_arr = th_arr[order], w_arr[order]
+
+    hashed = conv_texts.select(
+        "conv_id",
+        F.flatten(
+            F.transform(
+                "texts",
+                lambda t: F.transform(
+                    F.split(F.coalesce(t, F.lit("")), " "),
+                    lambda tok: F.xxhash64(tok),
+                ),
+            )
+        ).alias("hs"),
+    )
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(hs: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+        out = np.zeros(len(hs), dtype=np.uint64)
+        nonempty = np.nonzero(lens > 0)[0]
+        if len(nonempty):
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in hs]
+            ).astype(np.uint64)
+            if len(th_arr):
+                pos = np.searchsorted(th_arr, flat)
+                pos_c = np.minimum(pos, len(th_arr) - 1)
+                hit = th_arr[pos_c] == flat
+                w = np.where(hit, w_arr[pos_c], default_idf)
+            else:
+                w = np.full(len(flat), default_idf)
+            ne_lens = lens[nonempty]
+            offsets = np.zeros(len(nonempty), dtype=np.int64)
+            np.cumsum(ne_lens[:-1], out=offsets[1:])
+            acc = np.zeros(len(nonempty), dtype=np.uint64)
+            total_w = np.add.reduceat(w, offsets)
+            for b in range(SIMHASH_BITS):
+                plane = ((flat >> np.uint64(b)) & np.uint64(1)).astype(
+                    np.float64
+                )
+                sums = np.add.reduceat(plane * w, offsets)
+                acc |= ((2 * sums - total_w) > 0).astype(np.uint64) << np.uint64(b)
+            out[nonempty] = acc
+        return pd.Series(out.astype(np.int64))
+
+    return hashed.select("conv_id", sim_udf(F.col("hs")).alias("simhash"))
+
+
 def _sim_bands(conv_sims, bit_threshold: int):
     n_bands = bit_threshold + 1
     width = SIMHASH_BITS // n_bands
@@ -168,6 +290,26 @@ def simhash_pairs(
     cluster recovery relies on the bands' orthogonal salt cuts + CC
     (buckets.py); hot keys are always surfaced, never silently lost."""
     sims = conversation_simhashes(conv_texts)
+    cands = candidate_pairs(sims, bit_threshold, max_bucket)
+    return (
+        cands.where(
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            <= bit_threshold
+        )
+        .select("conv_a", "conv_b")
+    )
+
+
+def simhash_pairs_weighted(
+    conv_texts: DataFrame,
+    bit_threshold: int = 3,
+    max_bucket: int = 512,
+    top_k: int = 1 << 15,
+) -> DataFrame:
+    """simhash_pairs with tf-idf weighting: one extra aggregation job for
+    the top-k weight table, then the identical banding/verify plan."""
+    weights, default_idf = token_idf_weights(conv_texts, top_k)
+    sims = conversation_simhashes_weighted(conv_texts, weights, default_idf)
     cands = candidate_pairs(sims, bit_threshold, max_bucket)
     return (
         cands.where(

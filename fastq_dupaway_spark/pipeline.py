@@ -57,6 +57,9 @@ class DedupConfig:
     simhash: bool = False
     hamming_exact: bool = False
     containment: bool = False
+    # semantic (embedding-cosine) detector: requires an embeddings frame
+    # (conv_id, embedding array<float>) passed to run_pipeline
+    semantic: bool = False
     # parity_mode: None | 'tight' | 'loose' | 'hamming' — run the
     # reference-run-semantics scan INSTEAD of transitive detectors
     parity_mode: str | None = None
@@ -65,10 +68,19 @@ class DedupConfig:
     quarantine: bool = True
     hamming_d: int = 2
     simhash_bit_threshold: int = 3
+    # tf-idf-weighted simhash: restores band selectivity on natural text
+    # where shared boilerplate compresses unweighted simhash distances
+    simhash_weighted: bool = False
+    simhash_idf_top_k: int = 1 << 15
     shingle_n: int = 3
     minhash_k: int = 128
     minhash_bands: int = 16
     jaccard_threshold: float = 0.8
+    semantic_threshold: float = 0.9
+    semantic_planes: int = 8
+    semantic_tables: int = 6
+    # None = infer from the first embedding row at pipeline start
+    semantic_dim: int | None = None
     max_bucket: int = 2000
     seed: int = 42
 
@@ -99,7 +111,13 @@ def run_pipeline(
     transcripts: DataFrame,
     config: DedupConfig,
     checkpoint_root: str | None = None,
+    embeddings: DataFrame | None = None,
 ) -> PipelineResult:
+    """embeddings: (conv_id, embedding array<float>) — required when
+    config.semantic; produced upstream (a real encoder on a real cluster;
+    tests derive deterministic vectors)."""
+    if config.semantic and embeddings is None:
+        raise ValueError("config.semantic requires an embeddings DataFrame")
     spark = transcripts.sparkSession
     store = CheckpointStore(spark, checkpoint_root) if checkpoint_root else None
     base_params = config.params()
@@ -193,18 +211,42 @@ def run_pipeline(
                 )
             )
         if config.simhash:
-            if store is None:
-                pair_sets.append(
-                    simhash_pairs(
-                        ct,
-                        bit_threshold=config.simhash_bit_threshold,
-                        max_bucket=config.max_bucket,
+
+            def _sims():
+                # weights computed lazily so a RESUMED signatures stage
+                # skips the idf aggregation job entirely
+                if config.simhash_weighted:
+                    from .detectors.simhash import (
+                        conversation_simhashes_weighted,
+                        token_idf_weights,
                     )
-                )
+
+                    w, d = token_idf_weights(ct, config.simhash_idf_top_k)
+                    return conversation_simhashes_weighted(ct, w, d)
+                return conversation_simhashes(ct)
+
+            if store is None:
+                if config.simhash_weighted:
+                    from .detectors.simhash import simhash_pairs_weighted
+
+                    pair_sets.append(
+                        simhash_pairs_weighted(
+                            ct,
+                            bit_threshold=config.simhash_bit_threshold,
+                            max_bucket=config.max_bucket,
+                            top_k=config.simhash_idf_top_k,
+                        )
+                    )
+                else:
+                    pair_sets.append(
+                        simhash_pairs(
+                            ct,
+                            bit_threshold=config.simhash_bit_threshold,
+                            max_bucket=config.max_bucket,
+                        )
+                    )
             else:
-                sims = stage(
-                    "simhash_signatures", lambda: conversation_simhashes(ct)
-                )
+                sims = stage("simhash_signatures", _sims)
                 stage(
                     "simhash_hot_buckets",
                     lambda: simhash_hot_buckets(
@@ -271,6 +313,49 @@ def run_pipeline(
                         "minhash_pairs",
                         lambda: verify_jaccard_pairs(
                             sh, mc, config.jaccard_threshold
+                        ).select("conv_a", "conv_b"),
+                    )
+                )
+        if config.semantic:
+            from .detectors.semantic import (
+                semantic_candidates,
+                semantic_hot_buckets,
+                semantic_pairs,
+                verify_cosine_pairs,
+            )
+
+            dim = config.semantic_dim or (
+                embeddings.select(
+                    F.size("embedding").alias("d")
+                ).first()["d"]
+            )
+            sem_args = dict(
+                n_planes=config.semantic_planes,
+                n_tables=config.semantic_tables,
+                dim=dim,
+                max_bucket=config.max_bucket,
+                seed=config.seed,
+            )
+            if store is None:
+                pair_sets.append(
+                    semantic_pairs(
+                        embeddings, config.semantic_threshold, **sem_args
+                    ).select("conv_a", "conv_b")
+                )
+            else:
+                stage(
+                    "semantic_hot_buckets",
+                    lambda: semantic_hot_buckets(embeddings, **sem_args),
+                )
+                sc2 = stage(
+                    "semantic_candidates",
+                    lambda: semantic_candidates(embeddings, **sem_args),
+                )
+                pair_sets.append(
+                    stage(
+                        "semantic_pairs",
+                        lambda: verify_cosine_pairs(
+                            embeddings, sc2, config.semantic_threshold
                         ).select("conv_a", "conv_b"),
                     )
                 )

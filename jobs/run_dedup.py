@@ -47,7 +47,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument(
         "--detectors",
         default="exact",
-        help="comma list: exact,hamming,simhash,minhash,containment",
+        help="comma list: exact,hamming,simhash,minhash,containment,semantic",
+    )
+    p.add_argument(
+        "--embeddings",
+        help="parquet of (conv_id, embedding array<float>) — required by "
+        "the semantic detector",
     )
     p.add_argument(
         "--parity",
@@ -74,11 +79,15 @@ def parse_args(argv=None) -> argparse.Namespace:
     if args.input2 == args.input:
         p.error("--input and --input2 must differ "
                 "(reference guard: same-file, src/main.cpp:102-108)")
-    unknown = {d.strip() for d in args.detectors.split(",") if d.strip()} - {
-        "exact", "hamming", "simhash", "minhash", "containment"
+    dets = {d.strip() for d in args.detectors.split(",") if d.strip()}
+    unknown = dets - {
+        "exact", "hamming", "simhash", "minhash", "containment", "semantic"
     }
     if unknown:
         p.error(f"unknown detectors: {sorted(unknown)}")
+    if "semantic" in dets and not args.embeddings:
+        p.error("--detectors semantic requires --embeddings "
+                "(conv_id, embedding) parquet")
     return args
 
 
@@ -104,13 +113,15 @@ def main(argv=None) -> None:
         simhash="simhash" in dets,
         minhash="minhash" in dets,
         containment="containment" in dets,
+        semantic="semantic" in dets,
         parity_mode=args.parity,
         quarantine=not args.no_quarantine,
         hamming_d=args.distance,
         jaccard_threshold=args.jaccard,
         max_bucket=args.max_bucket,
     )
-    res = run_pipeline(t, cfg, checkpoint_root=args.checkpoint)
+    emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+    res = run_pipeline(t, cfg, checkpoint_root=args.checkpoint, embeddings=emb)
     res.survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
     if args.write_clusters:
         res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
@@ -118,10 +129,13 @@ def main(argv=None) -> None:
         res.quarantined.write.mode("overwrite").parquet(
             f"{args.output}/quarantine"
         )
-    n_surv = res.clusters.where(
-        F.col("conv_id") == F.col("rep_conv_id")
-    ).count()
-    n_all = res.clusters.count()
+    summary = res.clusters.agg(
+        F.count("*").alias("n_all"),
+        F.sum(
+            (F.col("conv_id") == F.col("rep_conv_id")).cast("int")
+        ).alias("n_surv"),
+    ).first()
+    n_all, n_surv = summary["n_all"], summary["n_surv"] or 0
     n_quar = res.quarantined.count() if res.quarantined is not None else 0
     # the reference's --verbose counters (src/seq_dup_remover.hpp:107-108)
     print(

@@ -94,6 +94,41 @@ def test_manifest_layout_and_atomicity(spark, tmp_path):
     assert store.complete("s1", config_hash({"stage": "s1"}))
 
 
+def test_materialize_adds_no_jobs_beyond_the_write(spark, tmp_path):
+    """One Spark job per materialize (VERDICT r2 item 4): lineage comes
+    from parquet footers (metadata-only), so materialize must submit
+    exactly as many jobs as the bare write of the same plan — the round-2
+    groupBy(spark_partition_id) re-scan added a full second pass. Counted
+    via job groups (AQE may split one write into several job ids, so the
+    bare write is the baseline, not the literal number 1)."""
+    t = corpus.conv_df(spark, corpus.generate_corpus(seed=4, n_conv=30))
+    agg = t.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    sc = spark.sparkContext
+    tracker = sc.statusTracker
+
+    sc.setJobGroup("bare_write", "baseline")
+    try:
+        agg.write.mode("overwrite").parquet(str(tmp_path / "bare"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    n_bare = len(tracker().getJobIdsForGroup("bare_write"))
+    assert n_bare >= 1
+
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    sc.setJobGroup("materialize", "probe")
+    try:
+        res = store.materialize("probe", lambda: agg, {"stage": "probe"})
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    n_mat = len(tracker().getJobIdsForGroup("materialize"))
+    assert n_mat == n_bare, (n_mat, n_bare)
+
+    # footer lineage actually used (file names recorded) and rows correct
+    parts = res.metrics["partitions"]
+    assert parts and all("file" in p for p in parts)
+    assert res.rows == agg.count()
+
+
 def test_config_hash_stable_and_order_insensitive():
     a = config_hash({"x": 1, "y": "b"})
     b = config_hash({"y": "b", "x": 1})

@@ -96,8 +96,9 @@ class TestCharContainment:
         # mid-turn single-turn needle (len >= 16)
         ("n_single", ["hello wonderful world"]),
         ("c_single", ["AA hello wonderful world BB", "another turn"]),
-        # short single-turn needle: mid-turn occurrence NOT detected
-        # (documented GRAM_LEN limitation), boundary occurrence IS
+        # short single-turn needle: mid-turn occurrence found by the
+        # broadcast locate() probe (round-2 carve-out removed), boundary
+        # occurrence by the suffix blocks
         ("n_short", ["tiny txt"]),
         ("c_short_mid", ["ZZ tiny txt YY"]),
         ("c_short_bnd", ["tiny txt and more trailing words"]),
@@ -111,25 +112,17 @@ class TestCharContainment:
         ("unrelated", ["completely different content words"]),
     ]
 
-    def _brute(self, eligible_only=True):
+    def _brute(self):
+        """Pure composite-in-composite — NO carve-out (the short-needle
+        boundary-only rule died with the broadcast locate probe)."""
         us = "\x1f"
         comp = {cid: us.join(turns) for cid, turns in self.CONVS}
-        m = {cid: len(turns) for cid, turns in self.CONVS}
-        out = set()
-        for a in comp:
-            for b in comp:
-                if a == b or comp[a] not in comp[b]:
-                    continue
-                if m[a] == 1 and len(comp[a]) < 16:
-                    # short single-turn: boundary occurrences only
-                    suffixes = [
-                        us.join(dict(self.CONVS)[b][k:])
-                        for k in range(len(dict(self.CONVS)[b]))
-                    ]
-                    if not any(s.startswith(comp[a]) for s in suffixes):
-                        continue
-                out.add(tuple(sorted((a, b))))
-        return out
+        return {
+            tuple(sorted((a, b)))
+            for a in comp
+            for b in comp
+            if a != b and comp[a] in comp[b]
+        }
 
     def test_matches_brute_force(self, spark):
         from fastq_dupaway_spark.detectors.containment import (
@@ -148,5 +141,28 @@ class TestCharContainment:
         assert ("c_single", "n_single") in want     # mid-turn single
         assert ("c_multi", "n_multi") in want       # mid-turn multi
         assert ("c_short_bnd", "n_short") in want   # short at boundary
-        assert ("c_short_mid", "n_short") not in want  # short mid-turn
+        assert ("c_short_mid", "n_short") in want   # short MID-TURN (new)
         assert ("c_miss", "n_multi") not in want
+
+    def test_short_needle_cap_surfaced(self, spark):
+        """Short needles beyond the broadcast cap are surfaced (ordered,
+        deterministic), and the capped run still finds the probed ones."""
+        from fastq_dupaway_spark.detectors.containment import (
+            char_containment_pairs,
+            unindexed_short_needles,
+        )
+
+        convs = [(f"s{i}", [f"nd{i}"]) for i in range(6)] + [
+            ("big", ["xx nd0 yy nd5 zz this container is long enough"]),
+        ]
+        ct = conversation_texts(corpus.conv_df(spark, convs))
+        left_out = {
+            r["conv_id"] for r in unindexed_short_needles(ct, max_short=3).collect()
+        }
+        assert left_out == {"s3", "s4", "s5"}  # smallest-id cap is deterministic
+        got = {
+            tuple(sorted((r["conv_a"], r["conv_b"])))
+            for r in char_containment_pairs(ct, max_short=3).collect()
+        }
+        assert ("big", "s0") in got          # probed needle found mid-turn
+        assert ("big", "s5") not in got      # beyond cap: surfaced, not probed

@@ -139,6 +139,162 @@ def test_streaming_lsh_candidates(spark, tmp_path):
     assert not any("zz" in p for p in got)
 
 
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing _bucket_update."""
+
+    def __init__(self, exists=False, value=None, timed_out=False):
+        self.exists = exists
+        self.get = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_ms = None
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, v):
+        self.updated = v
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_bucket_update_timeout_removes_state():
+    """ProcessingTimeTimeout firing on an idle bucket must REMOVE the
+    state, not re-arm it — the round-2 version called update() +
+    setTimeoutDuration() unconditionally, resurrecting every idle bucket
+    forever (unbounded state growth)."""
+    from fastq_dupaway_spark.streaming import _bucket_update
+
+    update = _bucket_update(max_state=4, timeout_minutes=1)
+    st = _FakeGroupState(exists=True, value=(["a", "b"],), timed_out=True)
+    assert list(update(("k",), iter([]), st)) == []
+    assert st.removed
+    assert st.updated is None and st.timeout_ms is None  # not re-armed
+
+
+def test_bucket_update_pairs_and_state_bound():
+    """Normal path: every arrival pairs against stored members; state is
+    capped at max_state but over-cap arrivals still PAIR (cluster joins
+    survive the cap)."""
+    import pandas as pd
+
+    from fastq_dupaway_spark.streaming import _bucket_update
+
+    update = _bucket_update(max_state=2, timeout_minutes=1)
+    st = _FakeGroupState()
+    batches = iter([pd.DataFrame({"conv_id": ["a", "b", "c", "d"]})])
+    out = list(update(("k",), batches, st))
+    pairs = set(zip(out[0]["conv_a"], out[0]["conv_b"]))
+    assert pairs == {("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")}
+    assert st.updated == (["a", "b"],)  # capped at max_state=2
+    assert st.timeout_ms == 60_000 and not st.removed
+
+
+def _near_dup_stream_corpus():
+    """Deterministic single-turn corpus with planted near-dup twins:
+    20 bases of 12 distinct tokens; even bases get a twin sharing all
+    shingles plus a small tail (high Jaccard). Returns (rows, twin_pairs)
+    with rows as (conv_id, text, ts)."""
+    from datetime import datetime, timezone
+
+    rows, twins = [], []
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    for i in range(20):
+        text = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((f"c{i:02d}", text, ts))
+        if i % 2 == 0:
+            rows.append((f"c{i:02d}x", text + " tail", ts))
+            twins.append((f"c{i:02d}", f"c{i:02d}x"))
+    return rows, twins
+
+
+def test_streaming_candidate_recall_vs_batch_and_restart(spark, tmp_path):
+    """Scores the streaming LSH candidates against the BATCH minhash
+    authority at the identical config (same permutations/banding via
+    shared _perm_coeffs + xxhash64 band keys): every batch-VERIFIED pair
+    must appear among the stream's candidates (candidate recall 1.0 on
+    this corpus). Also kills the stream mid-corpus and restarts from its
+    checkpoint: a pair whose members straddle the restart proves bucket
+    state survived recovery."""
+    from fastq_dupaway_spark.detectors.minhash import (
+        lsh_candidates,
+        minhash_signatures,
+        shingle_hashes,
+        verify_jaccard_pairs,
+    )
+    from fastq_dupaway_spark.streaming import streaming_lsh_candidates
+
+    rows, twins = _near_dup_stream_corpus()
+    schema = "conv_id string, text string, ts timestamp"
+
+    # ---- batch authority at the same (n=3, k=32, bands=8, seed=42) ----
+    t = spark.createDataFrame(
+        [(cid, 0, "user", text, None) for cid, text, _ in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    sh = shingle_hashes(t, n=3)
+    batch_verified = {
+        (r["conv_a"], r["conv_b"])
+        for r in verify_jaccard_pairs(
+            sh, lsh_candidates(minhash_signatures(sh, k=32), n_bands=8), 0.5
+        ).collect()
+    }
+    assert set(twins) <= batch_verified  # planted twins are real near-dups
+
+    # ---- stream phase 1: all but the last file, then terminate ---------
+    src = tmp_path / "src"
+    src.mkdir()
+    # c00's twin goes in the LAST file: its pair must straddle the restart
+    last = [r for r in rows if r[0] == "c00x"]
+    first = [r for r in rows if r[0] != "c00x"]
+    spark.createDataFrame(first[: len(first) // 2], schema).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame(first[len(first) // 2 :], schema).write.parquet(
+        str(src / "f2.parquet")
+    )
+
+    out_dir = tmp_path / "out"
+
+    def run_stream():
+        # parquet sink: supports exactly-once checkpoint RECOVERY (the
+        # memory sink does not) and accumulates output across restarts
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            streaming_lsh_candidates(stream, n=3, k=32, n_bands=8)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["conv_a"], r["conv_b"])
+            for r in spark.read.schema("conv_a string, conv_b string")
+            .parquet(str(out_dir))
+            .collect()
+        }
+
+    run_stream()  # phase 1 (query terminates: kill point)
+
+    # ---- phase 2: new file arrives, restart from the same checkpoint ---
+    spark.createDataFrame(last, schema).write.parquet(str(src / "f3.parquet"))
+    cands = run_stream()  # cumulative parquet output across both phases
+
+    missing = batch_verified - cands
+    assert not missing, f"stream candidates missed verified pairs: {missing}"
+    # the pair straddling the kill/restart boundary specifically:
+    assert ("c00", "c00x") in cands
+
+
 def test_cluster_pairs_max_cluster_cap(spark):
     """Giant-cluster expansion cap: pairs per cluster bounded by the
     sampled member count, sample deterministic (smallest ids)."""

@@ -152,3 +152,60 @@ def test_minhash_hot_bucket_salting(spark):
     clusters = clusters_with_singletons(ct.select("conv_id"), pairs).collect()
     reps = {r["rep_conv_id"] for r in clusters if r["conv_id"].startswith("h")}
     assert reps == {"h000"}, f"hot cluster not recovered: {reps}"
+
+
+def test_weighted_simhash_separates_boilerplate(spark):
+    """VERDICT r2 item 3: on natural-ish text where every conversation
+    shares heavy boilerplate, UNWEIGHTED simhash compresses distances
+    (boilerplate tokens dominate every bit vote, unrelated conversations
+    land a few bits apart, near-miss true pairs are barely closer —
+    band selectivity collapses at scale). idf-WEIGHTED simhash zeroes the
+    boilerplate's votes (df == n_convs -> idf == 0) and restores a wide
+    margin between near-miss twins and unrelated pairs."""
+    from pyspark.sql import functions as F
+
+    from fastq_dupaway_spark.detectors.simhash import (
+        conversation_simhashes,
+        conversation_simhashes_weighted,
+        token_idf_weights,
+    )
+
+    boiler = " ".join(f"common{j:03d}" for j in range(400))
+    convs = []
+    for i in range(12):
+        content = " ".join(f"u{i:02d}k{k}" for k in range(32))
+        convs.append((f"c{i:02d}", [f"{boiler} {content}"]))
+        # near-miss twin: one rare token APPENDED (the prefix-extension
+        # near-dup class)
+        convs.append((f"c{i:02d}x", [f"{boiler} {content} u{i:02d}extra"]))
+    t = corpus.conv_df(spark, convs)
+    ct = conversation_texts(t).localCheckpoint()
+
+    def dists(sims_df):
+        s = {r["conv_id"]: r["simhash"] for r in sims_df.collect()}
+        near, unrel = [], []
+        for a, b in combinations(sorted(s), 2):
+            d = bin((s[a] ^ s[b]) & ((1 << 64) - 1)).count("1")
+            (near if a.rstrip("x") == b.rstrip("x") else unrel).append(d)
+        return max(near), min(unrel)
+
+    un_near, un_unrel = dists(conversation_simhashes(ct))
+    w, d0 = token_idf_weights(ct)
+    wt_near, wt_unrel = dists(conversation_simhashes_weighted(ct, w, d0))
+
+    assert d0 > 0  # rare-token default idf is the ceiling
+
+    # unweighted: the margin between true near-miss pairs and unrelated
+    # pairs is thin (the failure mode); weighted: wide
+    un_margin = un_unrel - un_near
+    wt_margin = wt_unrel - wt_near
+    detail = (
+        f"unweighted near<={un_near} unrel>={un_unrel}; "
+        f"weighted near<={wt_near} unrel>={wt_unrel}"
+    )
+    # unweighted entangles the classes (typically unrel pairs at distance
+    # 0 while near-miss pairs sit a few bits out — ordering INVERTED)
+    assert un_margin <= 2, detail
+    # weighted separates them by a usable banding margin
+    assert wt_margin >= 8, detail
+    assert wt_margin >= un_margin + 8, detail

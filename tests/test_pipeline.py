@@ -86,14 +86,17 @@ def test_parity_mode_pipeline(spark, tmp_path):
     }
 
 def test_quarantine_stage_routes_malformed_rows(spark, tmp_path):
-    """P9: conversations with control-char or NULL text are quarantined
-    whole; clean survivors are unchanged by the dirty rows' presence."""
+    """P9: conversations with non-normalizable control chars or NULL text
+    are quarantined whole; \\t/\\n/\\r are NORMALIZED to spaces instead
+    (real transcripts contain them — ADVICE r2), and normalization makes
+    whitespace-variant duplicates converge."""
     convs = [
         ("00001", ["good clean text", "more clean text"]),
         ("00002", ["good clean text", "more clean text"]),  # exact dup of 1
         ("00003", ["bad\x00byte here", "innocent sibling turn"]),
-        ("00004", ["tab\tinside"]),
+        ("00004", ["tab\tinside"]),  # normalized to 'tab inside', kept
         ("00005", ["another unique fine conversation"]),
+        ("00006", ["good\nclean text", "more\tclean text"]),  # dup of 1 after normalization
     ]
     t = corpus.conv_df(spark, convs)
     res = run_pipeline(
@@ -103,14 +106,25 @@ def test_quarantine_stage_routes_malformed_rows(spark, tmp_path):
         (r["conv_id"], r["reason"]) for r in res.quarantined.collect()
     }
     # whole conversations quarantined; offending rows carry reasons,
-    # innocent sibling rows carry NULL
+    # innocent sibling rows carry NULL; the tab/newline rows do NOT appear
     assert quarantined == {
         ("00003", "control_chars"),
         ("00003", None),
-        ("00004", "control_chars"),
     }
     clusters = {r["conv_id"]: r["rep_conv_id"] for r in res.clusters.collect()}
-    assert clusters == {"00001": "00001", "00002": "00001", "00005": "00005"}
+    assert clusters == {
+        "00001": "00001",
+        "00002": "00001",
+        "00004": "00004",
+        "00005": "00005",
+        "00006": "00001",  # whitespace-normalized duplicate converges
+    }
+    # survivors carry the NORMALIZED text
+    surv4 = {
+        r["text"]
+        for r in res.survivors.where(F.col("conv_id") == "00004").collect()
+    }
+    assert surv4 == {"tab inside"}
 
 
 def test_observed_counters_in_manifest(spark, tmp_path):

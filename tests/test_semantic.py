@@ -1,0 +1,146 @@
+"""Semantic (embedding-cosine) detector: planted-pair recall, exact
+verify precision, hot-bucket policy, pipeline + checkpoint integration."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from fastq_dupaway_spark import corpus
+from fastq_dupaway_spark.clustering import clusters_with_singletons
+from fastq_dupaway_spark.detectors.semantic import (
+    semantic_candidates,
+    semantic_hot_buckets,
+    semantic_pairs,
+)
+from fastq_dupaway_spark.pipeline import DedupConfig, run_pipeline
+
+DIM = 16
+
+
+def _emb_df(spark, vecs: dict[str, np.ndarray]):
+    return spark.createDataFrame(
+        [(k, [float(x) for x in v]) for k, v in sorted(vecs.items())],
+        "conv_id string, embedding array<double>",
+    )
+
+
+def _planted(n_base=20, n_twins=5, eps=0.05, seed=7):
+    rng = np.random.RandomState(seed)
+    base = rng.standard_normal((n_base, DIM))
+    vecs = {f"c{i:02d}": base[i] for i in range(n_base)}
+    twins = []
+    for i in range(n_twins):
+        vecs[f"c{i:02d}x"] = base[i] + eps * rng.standard_normal(DIM)
+        twins.append((f"c{i:02d}", f"c{i:02d}x"))
+    return vecs, twins
+
+
+def _cos(a, b):
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_semantic_pairs_match_brute_force(spark):
+    """LSH + exact verify == numpy brute force at threshold 0.95 on the
+    planted corpus (recall AND precision 1.0 for this config)."""
+    vecs, twins = _planted()
+    expected = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b and _cos(vecs[a], vecs[b]) >= 0.95
+    }
+    assert set(twins) <= expected  # the plant is real at this threshold
+    got = {
+        (r["conv_a"], r["conv_b"])
+        for r in semantic_pairs(
+            _emb_df(spark, vecs),
+            threshold=0.95,
+            n_planes=4,
+            n_tables=8,
+            dim=DIM,
+            seed=1,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_semantic_verify_is_exact(spark):
+    """Every emitted cos matches numpy to the rounded digit — the verify
+    is JVM-exact, not approximate."""
+    vecs, _ = _planted()
+    for r in semantic_pairs(
+        _emb_df(spark, vecs), threshold=0.9, n_planes=4, n_tables=8,
+        dim=DIM, seed=1,
+    ).collect():
+        want = round(_cos(vecs[r["conv_a"]], vecs[r["conv_b"]]), 4)
+        assert abs(r["cos"] - want) < 1e-9
+
+
+def test_semantic_hot_bucket_salted_and_recovered(spark):
+    """A boilerplate embedding (many identical vectors — e.g. what an
+    encoder emits for empty text) overflows its bucket: candidates stay
+    bounded, the hot key is surfaced, and connected components still
+    recovers the full cluster from the orthogonal per-table salt cuts."""
+    rng = np.random.RandomState(3)
+    hot = rng.standard_normal(DIM)
+    vecs = {f"h{i:03d}": hot for i in range(120)}
+    for i in range(10):
+        vecs[f"r{i:02d}"] = rng.standard_normal(DIM)
+    emb = _emb_df(spark, vecs)
+    kw = dict(n_planes=4, n_tables=4, dim=DIM, max_bucket=30, seed=2)
+
+    hb = semantic_hot_buckets(emb, **kw)
+    assert hb.count() >= 1  # surfaced, not silently dropped
+
+    cands = semantic_candidates(emb, **kw)
+    n = cands.count()
+    # bounded: far below the unsalted 120*119/2 * 4 tables blowup
+    assert 0 < n < 4 * 120 * 30
+
+    cl = clusters_with_singletons(emb.select("conv_id"), cands)
+    hot_reps = {
+        r["rep_conv_id"]
+        for r in cl.where(F.col("conv_id").startswith("h")).collect()
+    }
+    assert len(hot_reps) == 1  # orthogonal cuts + CC re-merge the cluster
+
+
+def test_pipeline_semantic_detector_with_checkpoints(spark, tmp_path):
+    """DedupConfig.semantic wires embedding pairs into the candidate
+    union + CC; stage tables (hot surface, candidates, pairs) land in the
+    checkpoint store."""
+    convs = [
+        ("p1", ["completely different words here"]),
+        ("p2", ["nothing like the previous text"]),
+        ("p3", ["third unrelated conversation"]),
+    ]
+    t = corpus.conv_df(spark, convs)
+    rng = np.random.RandomState(11)
+    v1 = rng.standard_normal(DIM)
+    vecs = {"p1": v1, "p2": v1 + 0.01 * rng.standard_normal(DIM),
+            "p3": rng.standard_normal(DIM)}
+    emb = _emb_df(spark, vecs)
+
+    cfg = DedupConfig(
+        exact=True, semantic=True, semantic_threshold=0.95,
+        semantic_planes=4, semantic_tables=8, semantic_dim=DIM,
+        quarantine=False,
+    )
+    res = run_pipeline(t, cfg, checkpoint_root=str(tmp_path / "ck"),
+                       embeddings=emb)
+    cl = {r["conv_id"]: r["rep_conv_id"] for r in res.clusters.collect()}
+    assert cl["p1"] == cl["p2"]  # paraphrase pair merged by embeddings
+    assert cl["p3"] != cl["p1"]
+    stage_names = {s["stage"] for s in res.stages}
+    assert {"semantic_hot_buckets", "semantic_candidates",
+            "semantic_pairs"} <= stage_names
+
+
+def test_pipeline_semantic_requires_embeddings(spark):
+    t = corpus.conv_df(spark, [("x", ["hello"])])
+    try:
+        run_pipeline(t, DedupConfig(semantic=True))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "embeddings" in str(e)

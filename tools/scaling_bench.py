@@ -85,7 +85,12 @@ def main() -> None:
         "replicas": replicas,
         "recall_planted": high.get("recall_planted"),
         "recall_vs_reference": high.get("recall_vs_reference"),
+        "recall_semantic": high.get("recall_semantic"),
         "cc_rounds": high.get("cc_rounds"),
+        "commit": subprocess.run(
+            ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip(),
         "queries_n": low["queries"],
         "queries_4n": high["queries"],
     }
@@ -102,6 +107,7 @@ def main() -> None:
         "parallelism levels on identical input (no real cluster available;",
         "per BASELINE.md this is the driver-mandated stand-in).",
         "",
+        f"- measured at commit `{result['commit']}`",
         f"- input: transcripts derived from `{sf_dir}` documents, x{replicas}",
         f"  replicas = {low['turns']} turns / {low['convs']} conversations",
         f"- suite: {', '.join(low['queries'])}",
@@ -117,6 +123,7 @@ def main() -> None:
         f"**Dup-pair recall at bench scale** (BASELINE.json headline, target >= 0.99):",
         f"- vs planted derivation relations: {high.get('recall_planted')}",
         f"- vs reference (parity-loose run) clusters: {high.get('recall_vs_reference')}",
+        f"- semantic detector vs planted embedding near-pairs: {high.get('recall_semantic')}",
         f"- connected-components rounds: {high.get('cc_rounds')}",
         "",
         "Per-query seconds:",

@@ -71,6 +71,27 @@ class CheckpointStore:
         reader = self.spark.read.schema(hint) if hint else self.spark.read
         return reader.parquet(self._data_path(stage))
 
+    def _snapshot_id(self, stage: str) -> str | None:
+        """Storage seam: identifier pinning the exact table VERSION the
+        manifest describes — Iceberg override returns the committed
+        snapshot id (currentSnapshot().snapshotId()); the parquet shim
+        digests the written file listing (name:size), which changes on
+        every overwrite. Recorded in the manifest so a resume provably
+        reads the same table version the completed stage wrote, and so
+        the Iceberg swap's time-travel bookkeeping is already plumbed."""
+        import glob
+        import hashlib
+
+        files = sorted(
+            glob.glob(os.path.join(self._data_path(stage), "*.parquet"))
+        )
+        if not files:
+            return None
+        h = hashlib.sha256()
+        for f in files:
+            h.update(f"{os.path.basename(f)}:{os.path.getsize(f)};".encode())
+        return h.hexdigest()[:16]
+
     def _lineage(self, stage: str) -> list[dict] | None:
         """Per-partition lineage rows for a just-written stage, METADATA-
         ONLY: parquet footer row counts read driver-side — no second Spark
@@ -171,6 +192,7 @@ class CheckpointStore:
             "rows": rows,
             "complete": True,
             "created_unix": time.time(),
+            "snapshot_id": self._snapshot_id(stage),
             "metrics": metrics,
         }
         tmp = self._manifest_path(stage) + ".tmp"

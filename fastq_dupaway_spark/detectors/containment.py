@@ -115,8 +115,24 @@ def _salted_blocks_and_probes(
     a map-side-combined groupBy (no window sort), salt over-cap blocks,
     and replicate each needle probe across its block's salts (probes
     carry only ids + hashes). Returns (salted_blocks, probes) — join on
-    (key, salt)."""
-    blocks = blocks.localCheckpoint()
+    (key, salt).
+
+    NEEDLE-SET PUSHDOWN: the block table is first semi-joined against
+    the distinct needle keys, INSIDE the narrow block-generation stage
+    (AQE turns the semi-join into a broadcast/runtime filter when the
+    needle side is small — one row per needle conversation, always tiny
+    next to the block fan-out). Blocks whose key no needle carries can
+    never produce a candidate, so pruning them BEFORE the checkpoint /
+    sizing / exchange removes ~all of the gram index's O(total_chars)
+    rows and most of the suffix blocks' |turns|*PREFIX_LEN rows from
+    every downstream shuffle. This was the round-3 bench finding: the
+    unpruned char-containment gram exchange multiplied suite time ~10x.
+    Bucket sizes (and therefore salts + the hot surface used for probe
+    replication) are computed on the PRUNED table — i.e. on the rows
+    that can actually join, which is the fan-out that matters."""
+    blocks = blocks.join(
+        needles.select(key).distinct(), key, "left_semi"
+    ).localCheckpoint()
     hot = hot_buckets(blocks, [key], max_bucket)
     dim = hot.select(
         key, F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
@@ -196,13 +212,14 @@ def prefix_containment_pairs(
 def containment_hot_buckets(
     conv_texts: DataFrame, max_bucket: int = 4000
 ) -> DataFrame:
-    """Quarantine surface: over-cap (ph, bucket_n) blocks. ph is a hash;
-    joining back to _suffixes recovers the offending prefixes if needed."""
-    return hot_buckets(
-        _suffix_blocks(_suffixes(conv_texts, all_boundaries=True)),
-        ["ph"],
-        max_bucket,
+    """Quarantine surface: over-cap (ph, bucket_n) blocks, measured after
+    the needle-set pushdown (the same pruned table the candidate join
+    sees — that is the fan-out that matters). ph is a hash; joining back
+    to _suffixes recovers the offending prefixes if needed."""
+    blocks = _suffix_blocks(_suffixes(conv_texts, all_boundaries=True)).join(
+        _needles(conv_texts).select("ph").distinct(), "ph", "left_semi"
     )
+    return hot_buckets(blocks, ["ph"], max_bucket)
 
 
 # ---------------------------------------------------------------------------

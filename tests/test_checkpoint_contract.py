@@ -94,6 +94,77 @@ def test_manifest_layout_and_atomicity(spark, tmp_path):
     assert store.complete("s1", config_hash({"stage": "s1"}))
 
 
+class VersionedCatalogStore(CheckpointStore):
+    """Iceberg-SNAPSHOT-shaped stand-in: every write commits a new
+    immutable version, reads serve the latest, old versions stay readable
+    (time travel). Overrides only the three seam methods — exactly the
+    shape of the documented Iceberg swap (writeTo().createOrReplace() +
+    currentSnapshot().snapshotId() + read option('snapshot-id', ...))."""
+
+    def __init__(self, spark, root):
+        super().__init__(spark, root)
+        self.versions: dict[str, list] = {}  # stage -> [(snap_id, rows, schema)]
+
+    def _write_table(self, df, stage):
+        snaps = self.versions.setdefault(stage, [])
+        snaps.append((f"snap{len(snaps)}", df.collect(), df.schema))
+
+    def _read_table(self, stage):
+        snap_id, rows, schema = self.versions[stage][-1]
+        return self.spark.createDataFrame(rows, schema)
+
+    def _snapshot_id(self, stage):
+        return self.versions[stage][-1][0]
+
+    def read_snapshot(self, stage, snap_id):
+        for sid, rows, schema in self.versions[stage]:
+            if sid == snap_id:
+                return self.spark.createDataFrame(rows, schema)
+        raise KeyError(snap_id)
+
+
+def test_snapshot_id_capture_and_time_travel(spark, tmp_path):
+    """The manifest pins the exact table VERSION each completed stage
+    wrote (VERDICT r2 item 8): re-materializing under a new config commits
+    a NEW snapshot and the manifest follows it, while the old snapshot
+    stays readable — the Iceberg time-travel swap is provably mechanical."""
+    t = corpus.conv_df(spark, corpus.generate_corpus(seed=4, n_conv=15))
+    store = VersionedCatalogStore(spark, str(tmp_path / "ck"))
+
+    first = store.materialize(
+        "sigs", lambda: t.where(F.col("turn_idx") == 0), {"k": 1}
+    )
+    m1 = store.manifest("sigs")
+    assert m1["snapshot_id"] == "snap0"
+
+    # resume: no new snapshot committed
+    store.materialize("sigs", lambda: t, {"k": 1})
+    assert store.manifest("sigs")["snapshot_id"] == "snap0"
+
+    # config change: new snapshot, manifest follows
+    second = store.materialize("sigs", lambda: t, {"k": 2})
+    m2 = store.manifest("sigs")
+    assert m2["snapshot_id"] == "snap1" and second.rows == t.count()
+
+    # time travel: the superseded snapshot is still readable, unchanged
+    old = store.read_snapshot("sigs", "snap0")
+    assert old.count() == first.rows != second.rows
+
+
+def test_parquet_snapshot_digest_tracks_rewrites(spark, tmp_path):
+    """Parquet-shim snapshot id = digest of the written file listing:
+    stable across resume, changed by a rewrite under a new config."""
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    t = corpus.conv_df(spark, corpus.generate_corpus(seed=4, n_conv=10))
+    store.materialize("s", lambda: t, {"v": 1})
+    snap1 = store.manifest("s")["snapshot_id"]
+    assert snap1 and len(snap1) == 16
+    store.materialize("s", lambda: t, {"v": 1})  # resume
+    assert store.manifest("s")["snapshot_id"] == snap1
+    store.materialize("s", lambda: t.limit(3), {"v": 2})  # rewrite
+    assert store.manifest("s")["snapshot_id"] != snap1
+
+
 def test_materialize_adds_no_jobs_beyond_the_write(spark, tmp_path):
     """One Spark job per materialize (VERDICT r2 item 4): lineage comes
     from parquet footers (metadata-only), so materialize must submit

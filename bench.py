@@ -259,6 +259,15 @@ def main() -> None:
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        # release the previous row's dropped localCheckpoint blocks NOW:
+        # the ContextCleaner only frees them after a JVM GC notices the
+        # dead references, and blocks piling up in /dev/shm + storage
+        # memory were measured inflating LATER rows (minhash 29->58s once
+        # the char/semantic rows preceded it)
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     def exact_dedup():
         ec = exact.exact_clusters(t).persist()
@@ -308,13 +317,23 @@ def main() -> None:
     sem_holder = {}
 
     def semantic():
+        from fastq_dupaway_spark.detectors.semantic import (
+            semantic_candidates,
+            verify_cosine_pairs,
+        )
+
         emb = conv_embeddings(spark, t, sf_dir).persist()
         emb.count()
-        p = semantic_pairs(
-            emb, threshold=0.9, n_planes=20, n_tables=8, dim=64,
-            max_bucket=MAX_BUCKET,
+        # candidates materialized as their OWN action before the verify
+        # join — the folded mega-DAG was bimodal (41-73s vs 22s staged),
+        # same AQE trap as the minhash row (see minhash_cc comment)
+        cands = semantic_candidates(
+            emb, n_planes=20, n_tables=8, dim=64, max_bucket=MAX_BUCKET
         ).persist()
+        cands.count()
+        p = verify_cosine_pairs(emb, cands, 0.9).persist()
         p.count()
+        cands.unpersist()
         expected = planted_semantic_pairs(t)
         hit = expected.join(p, ["conv_a", "conv_b"], "left_semi").count()
         total = expected.count()

@@ -57,6 +57,9 @@ class DedupConfig:
     simhash: bool = False
     hamming_exact: bool = False
     containment: bool = False
+    # char-level generalized substring containment (needle ANYWHERE in
+    # the container composite, not just at turn boundaries)
+    char_containment: bool = False
     # semantic (embedding-cosine) detector: requires an embeddings frame
     # (conv_id, embedding array<float>) passed to run_pipeline
     semantic: bool = False
@@ -208,6 +211,26 @@ def run_pipeline(
                 stage(
                     "containment_pairs",
                     lambda: containment_pairs(ct, config.max_bucket),
+                )
+            )
+        if config.char_containment:
+            from .detectors.containment import (
+                char_containment_pairs,
+                unindexed_short_needles,
+            )
+
+            if store is not None:
+                # quarantine surface: short single-turn needles beyond the
+                # broadcast probe cap (empty on non-pathological corpora;
+                # the manifest row count makes any loss visible)
+                stage(
+                    "containment_unindexed_needles",
+                    lambda: unindexed_short_needles(ct),
+                )
+            pair_sets.append(
+                stage(
+                    "char_containment_pairs",
+                    lambda: char_containment_pairs(ct, config.max_bucket),
                 )
             )
         if config.simhash:

@@ -198,3 +198,45 @@ def streaming_lsh_candidates(
         outputMode="append",
         timeoutConf="ProcessingTimeTimeout",
     )
+
+
+def streaming_semantic_candidates(
+    emb_stream: DataFrame,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    dim: int = 64,
+    max_state: int = 64,
+    timeout_minutes: int = 60,
+    seed: int = 42,
+) -> DataFrame:
+    """Online SEMANTIC near-dup candidates: stateful hyperplane-LSH
+    buckets over a stream of (conv_id, embedding array, ts) rows — the
+    embedding analog of streaming_lsh_candidates, completing the
+    streaming story for the semantic detector (batch authority:
+    detectors/semantic.semantic_pairs with the same seed/planes, whose
+    exact-cosine verify filters the bucket collisions nightly).
+
+    Bucketing is row-local (the same vectorized hyperplane_signatures
+    kernel as batch — one row per (vector, table), no aggregation, so no
+    watermark needed); per-bucket state and timeout semantics are shared
+    with the text path via _bucket_update (bounded members per bucket,
+    over-cap arrivals still pair, idle buckets expire).
+    """
+    from .functions.similarity import hyperplane_signatures
+
+    buckets = hyperplane_signatures(
+        emb_stream,
+        n_planes=n_planes,
+        dim=dim,
+        seed=seed,
+        n_tables=n_tables,
+        id_col="conv_id",
+        vec_col="embedding",
+    ).select("conv_id", "bucket")
+    return buckets.groupBy("bucket").applyInPandasWithState(
+        _bucket_update(max_state, timeout_minutes),
+        outputStructType=_PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )

@@ -47,7 +47,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument(
         "--detectors",
         default="exact",
-        help="comma list: exact,hamming,simhash,minhash,containment,semantic",
+        help="comma list: exact,hamming,simhash,minhash,containment,"
+        "char_containment,semantic",
     )
     p.add_argument(
         "--embeddings",
@@ -81,7 +82,8 @@ def parse_args(argv=None) -> argparse.Namespace:
                 "(reference guard: same-file, src/main.cpp:102-108)")
     dets = {d.strip() for d in args.detectors.split(",") if d.strip()}
     unknown = dets - {
-        "exact", "hamming", "simhash", "minhash", "containment", "semantic"
+        "exact", "hamming", "simhash", "minhash", "containment",
+        "char_containment", "semantic",
     }
     if unknown:
         p.error(f"unknown detectors: {sorted(unknown)}")
@@ -113,6 +115,7 @@ def main(argv=None) -> None:
         simhash="simhash" in dets,
         minhash="minhash" in dets,
         containment="containment" in dets,
+        char_containment="char_containment" in dets,
         semantic="semantic" in dets,
         parity_mode=args.parity,
         quarantine=not args.no_quarantine,

@@ -137,6 +137,78 @@ def test_pipeline_semantic_detector_with_checkpoints(spark, tmp_path):
             "semantic_pairs"} <= stage_names
 
 
+def test_streaming_semantic_candidates_vs_batch(spark, tmp_path):
+    """The embedding analog of the text streaming-LSH recall test: every
+    pair the BATCH semantic detector verifies must appear among the
+    stream's candidates (same hyperplane seed/planes), including a pair
+    whose members arrive in different micro-batches."""
+    from fastq_dupaway_spark.streaming import streaming_semantic_candidates
+
+    vecs, twins = _planted()
+    expected = {
+        (a, b)
+        for a in vecs
+        for b in vecs
+        if a < b and _cos(vecs[a], vecs[b]) >= 0.95
+    }
+
+    schema = "conv_id string, embedding array<double>"
+    rows = [(k, [float(x) for x in v]) for k, v in sorted(vecs.items())]
+    # c00's twin goes in file 2: its pair must cross the batch boundary
+    f2 = [r for r in rows if r[0] == "c00x"]
+    f1 = [r for r in rows if r[0] != "c00x"]
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(f1, schema).write.parquet(str(src / "f1.parquet"))
+    spark.createDataFrame(f2, schema).write.parquet(str(src / "f2.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_semantic_candidates(
+            stream, n_planes=4, n_tables=8, dim=DIM, seed=1
+        )
+        .writeStream.format("memory")
+        .queryName("sem_cands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(180)
+    cands = {
+        (r["conv_a"], r["conv_b"])
+        for r in spark.sql("select * from sem_cands").collect()
+    }
+    missing = expected - cands
+    assert not missing, f"stream candidates missed batch-verified pairs: {missing}"
+    assert ("c00", "c00x") in cands  # crossed the micro-batch boundary
+
+
+def test_pipeline_char_containment_detector(spark, tmp_path):
+    """DedupConfig.char_containment merges mid-turn containment pairs
+    into CC and surfaces the unindexed-short-needle quarantine stage."""
+    convs = [
+        ("m1", ["tiny txt"]),
+        ("m2", ["ZZ tiny txt YY with more words in this turn"]),
+        ("m3", ["a completely different conversation"]),
+    ]
+    t = corpus.conv_df(spark, convs)
+    res = run_pipeline(
+        t,
+        DedupConfig(exact=True, char_containment=True, quarantine=False),
+        checkpoint_root=str(tmp_path / "ck"),
+    )
+    cl = {r["conv_id"]: r["rep_conv_id"] for r in res.clusters.collect()}
+    assert cl["m1"] == cl["m2"]  # mid-turn short needle merged
+    assert cl["m3"] != cl["m1"]
+    stage_names = {s["stage"] for s in res.stages}
+    assert {"char_containment_pairs", "containment_unindexed_needles"} <= stage_names
+
+
 def test_pipeline_semantic_requires_embeddings(spark):
     t = corpus.conv_df(spark, [("x", ["hello"])])
     try:

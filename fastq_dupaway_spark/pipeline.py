@@ -60,9 +60,12 @@ class DedupConfig:
     # char-level generalized substring containment (needle ANYWHERE in
     # the container composite, not just at turn boundaries)
     char_containment: bool = False
-    # semantic (embedding-cosine) detector: requires an embeddings frame
-    # (conv_id, embedding array<float>) passed to run_pipeline
+    # semantic (embedding-cosine) detector: uses the embeddings frame
+    # (conv_id, embedding array<float>) passed to run_pipeline, or —
+    # with semantic_embedder="feature_hash" — derives deterministic
+    # hashing-trick vectors from the text itself (functions/embed.py)
     semantic: bool = False
+    semantic_embedder: str = "external"  # "external" | "feature_hash"
     # parity_mode: None | 'tight' | 'loose' | 'hamming' — run the
     # reference-run-semantics scan INSTEAD of transitive detectors
     parity_mode: str | None = None
@@ -117,10 +120,19 @@ def run_pipeline(
     embeddings: DataFrame | None = None,
 ) -> PipelineResult:
     """embeddings: (conv_id, embedding array<float>) — required when
-    config.semantic; produced upstream (a real encoder on a real cluster;
-    tests derive deterministic vectors)."""
-    if config.semantic and embeddings is None:
-        raise ValueError("config.semantic requires an embeddings DataFrame")
+    config.semantic with the default external embedder (a real encoder on
+    a real cluster produces it); with
+    config.semantic_embedder="feature_hash" the pipeline derives
+    hashing-trick vectors from the text itself instead."""
+    if (
+        config.semantic
+        and embeddings is None
+        and config.semantic_embedder != "feature_hash"
+    ):
+        raise ValueError(
+            "config.semantic requires an embeddings DataFrame (or "
+            "semantic_embedder='feature_hash')"
+        )
     spark = transcripts.sparkSession
     store = CheckpointStore(spark, checkpoint_root) if checkpoint_root else None
     base_params = config.params()
@@ -347,6 +359,14 @@ def run_pipeline(
                 verify_cosine_pairs,
             )
 
+            if embeddings is None:  # feature_hash mode
+                from .functions.embed import feature_hash_embeddings
+
+                fh_dim = config.semantic_dim or 64
+                embeddings = stage(
+                    "semantic_embeddings",
+                    lambda: feature_hash_embeddings(ct, fh_dim),
+                )
             dim = config.semantic_dim or (
                 embeddings.select(
                     F.size("embedding").alias("d")

@@ -52,8 +52,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     )
     p.add_argument(
         "--embeddings",
-        help="parquet of (conv_id, embedding array<float>) — required by "
-        "the semantic detector",
+        help="parquet of (conv_id, embedding array<float>) for the "
+        "semantic detector, or 'auto' to derive deterministic "
+        "feature-hash vectors from the text itself",
     )
     p.add_argument(
         "--parity",
@@ -70,6 +71,12 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="skip the P9 malformed-text quarantine pre-stage (reference "
         "aborts on out-of-alphabet bytes, src/seq_utils.cpp:3-21; the "
         "pipeline quarantines instead — this flag trusts the input)",
+    )
+    p.add_argument(
+        "--simhash-weighted",
+        action="store_true",
+        help="tf-idf-weight the simhash detector's token votes (restores "
+        "band selectivity on boilerplate-heavy corpora)",
     )
     p.add_argument("--max-bucket", type=int, default=2000)
     p.add_argument("--cpus", type=int, default=None)
@@ -89,7 +96,7 @@ def parse_args(argv=None) -> argparse.Namespace:
         p.error(f"unknown detectors: {sorted(unknown)}")
     if "semantic" in dets and not args.embeddings:
         p.error("--detectors semantic requires --embeddings "
-                "(conv_id, embedding) parquet")
+                "(a (conv_id, embedding) parquet, or 'auto')")
     return args
 
 
@@ -113,17 +120,25 @@ def main(argv=None) -> None:
         exact="exact" in dets,
         hamming_exact="hamming" in dets,
         simhash="simhash" in dets,
+        simhash_weighted=args.simhash_weighted,
         minhash="minhash" in dets,
         containment="containment" in dets,
         char_containment="char_containment" in dets,
         semantic="semantic" in dets,
+        semantic_embedder=(
+            "feature_hash" if args.embeddings == "auto" else "external"
+        ),
         parity_mode=args.parity,
         quarantine=not args.no_quarantine,
         hamming_d=args.distance,
         jaccard_threshold=args.jaccard,
         max_bucket=args.max_bucket,
     )
-    emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+    emb = (
+        spark.read.parquet(args.embeddings)
+        if args.embeddings and args.embeddings != "auto"
+        else None
+    )
     res = run_pipeline(t, cfg, checkpoint_root=args.checkpoint, embeddings=emb)
     res.survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
     if args.write_clusters:

@@ -209,6 +209,54 @@ def test_pipeline_char_containment_detector(spark, tmp_path):
     assert {"char_containment_pairs", "containment_unindexed_needles"} <= stage_names
 
 
+def test_feature_hash_embeddings_similarity(spark):
+    """Hashing-trick embedder: unit-norm vectors whose cosine tracks
+    token-multiset overlap — near-identical texts ~1, unrelated ~0."""
+    from fastq_dupaway_spark.canonicalize import conversation_texts
+    from fastq_dupaway_spark.functions.embed import feature_hash_embeddings
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    convs = [
+        ("e1", [base]),
+        ("e2", [base + " extra"]),  # one appended token
+        ("e3", [" ".join(f"other{i}" for i in range(40))]),
+        ("e4", [""]),  # empty text still tokenizes to one '' token
+    ]
+    ct = conversation_texts(corpus.conv_df(spark, convs))
+    vecs = {
+        r["conv_id"]: np.asarray(r["embedding"])
+        for r in feature_hash_embeddings(ct, dim=DIM).collect()
+    }
+    assert abs(np.linalg.norm(vecs["e1"]) - 1.0) < 1e-9
+    assert _cos(vecs["e1"], vecs["e2"]) > 0.9
+    assert abs(_cos(vecs["e1"], vecs["e3"])) < 0.5
+    # '' tokenizes to one empty token: unit vector, unrelated to e1
+    assert abs(np.linalg.norm(vecs["e4"]) - 1.0) < 1e-9
+    assert abs(_cos(vecs["e1"], vecs["e4"])) < 0.5
+
+
+def test_pipeline_semantic_feature_hash_auto_embed(spark, tmp_path):
+    """semantic_embedder='feature_hash': the pipeline derives its own
+    embeddings — near-dup texts the exact detector cannot merge are
+    merged by embedding cosine, with the embeddings stage checkpointed."""
+    base = " ".join(f"w{i}" for i in range(40))
+    convs = [
+        ("f1", [base]),
+        ("f2", [base + " tail"]),  # NOT an exact dup
+        ("f3", [" ".join(f"z{i}" for i in range(40))]),
+    ]
+    t = corpus.conv_df(spark, convs)
+    cfg = DedupConfig(
+        exact=True, semantic=True, semantic_embedder="feature_hash",
+        semantic_threshold=0.9, semantic_planes=4, semantic_tables=8,
+        semantic_dim=DIM, quarantine=False,
+    )
+    res = run_pipeline(t, cfg, checkpoint_root=str(tmp_path / "ck"))
+    cl = {r["conv_id"]: r["rep_conv_id"] for r in res.clusters.collect()}
+    assert cl["f1"] == cl["f2"] and cl["f3"] != cl["f1"]
+    assert "semantic_embeddings" in {s["stage"] for s in res.stages}
+
+
 def test_pipeline_semantic_requires_embeddings(spark):
     t = corpus.conv_df(spark, [("x", ["hello"])])
     try:

@@ -254,20 +254,26 @@ def main() -> None:
     timings: dict[str, float] = {}
     found_pairs = {}  # detector pair DataFrames kept persisted for recall
 
+    #: rows whose dropped localCheckpoint blocks are big enough to
+    #: pressure later rows (measured: minhash 29->58s when char/semantic
+    #: blocks lingered). A full System.gc() costs ~1-1.5 s of pure
+    #: driver-serial time, so it runs ONLY after these — after every row
+    #: it alone ate ~10 s of the suite's scaling-efficiency margin.
+    GC_AFTER = {"char_containment_pairs", "semantic_pairs", "minhash_lsh_cc"}
+
     def run(name: str, fn) -> None:
         t0 = time.monotonic()
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
-        # release the previous row's dropped localCheckpoint blocks NOW:
-        # the ContextCleaner only frees them after a JVM GC notices the
-        # dead references, and blocks piling up in /dev/shm + storage
-        # memory were measured inflating LATER rows (minhash 29->58s once
-        # the char/semantic rows preceded it)
-        import gc
+        if name in GC_AFTER:
+            # release dropped localCheckpoint blocks NOW: the
+            # ContextCleaner only frees them after a JVM GC notices the
+            # dead references
+            import gc
 
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     def exact_dedup():
         ec = exact.exact_clusters(t).persist()

@@ -57,12 +57,18 @@ from fastq_dupaway_spark.session import get_spark
 
 #: 1-in-HOT_MOD conversations are rewritten to this constant text (all
 #: turns), forming one hot near-dup cluster that overflows every
-#: detector's MAX_BUCKET — the planted hot key. Sized so the hot
-#: cluster's TRUE pair relation (quadratic in its size — e.g. every hot
-#: conversation genuinely contains every longer one) stays a small
-#: fraction of suite work: ~200 hot convs at sf0.1 x24 -> ~20k true hot
-#: pairs vs ~75k planted pairs.
-HOT_MOD = 997
+#: detector's MAX_BUCKET — the planted hot key. HOT_MOD is SIZED WITH
+#: THE REPLICA COUNT (set once in main(): HOT_MOD = 42 * replicas) so
+#: the hot cluster stays a CONSTANT ~200 conversations at every corpus
+#: scale: its TRUE pair relation is quadratic in cluster size (every hot
+#: conversation genuinely contains/equals every other), so a
+#: replica-proportional cluster made hot work grow quadratically under
+#: corpus doubling — the round-3 x48 scaling confound
+#: (BENCH/BASELINE.md "corpus-doubling check"). Constant cluster size =
+#: constant hot work = replica scaling measures the detectors, while the
+#: ~200-conv cluster still overflows MAX_BUCKET=100 and exercises every
+#: salting path.
+HOT_MOD = 336  # = 42 * default 8 replicas; overridden in main()
 HOT_TEXT = (
     "standard boilerplate greeting how can i help you with that today "
     "thanks for reaching out to support"
@@ -232,6 +238,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     replicas = int(os.environ.get("BENCH_REPLICAS", "8"))
+    # constant-size planted hot cluster (see HOT_MOD comment): 1/(42*R)
+    # of R-replicated conversations = a replica-independent ~200 convs
+    # at sf0.1
+    global HOT_MOD
+    HOT_MOD = 42 * max(replicas, 1)
     # constant work decomposition across parallelism levels: the scaling
     # comparison (local[N] vs local[4N]) must run the IDENTICAL job —
     # only executor threads may differ

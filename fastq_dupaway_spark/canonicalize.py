@@ -64,17 +64,23 @@ def validate_transcripts(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Both outputs are narrow derivations of the input (a filter-join on the
     small bad-id set — broadcast at any scale where corruption is rare).
-    The clean side carries the NORMALIZED text.
+    The clean side carries the NORMALIZED text; the quarantine side
+    carries the ORIGINAL raw bytes (forensic fidelity: the offending
+    \\x00..\\x1f bytes are preserved for inspection, not rewritten).
+    Flagging on raw text is equivalent to flagging post-normalization
+    because _CONTROL_RE excludes exactly the three chars
+    normalize_whitespace rewrites.
     """
-    normalized = normalize_whitespace(transcripts)
     reason = F.when(F.col("text").isNull(), F.lit("null_text")).when(
         F.col("text").rlike(_CONTROL_RE), F.lit("control_chars")
     )
-    flagged = normalized.withColumn("reason", reason)
+    flagged = transcripts.withColumn("reason", reason)
     bad_ids = (
         flagged.where(F.col("reason").isNotNull()).select("conv_id").distinct()
     )
-    clean = normalized.join(bad_ids, "conv_id", "left_anti")
+    clean = normalize_whitespace(
+        transcripts.join(bad_ids, "conv_id", "left_anti")
+    )
     quarantined = flagged.join(bad_ids, "conv_id", "left_semi")
     return clean, quarantined
 

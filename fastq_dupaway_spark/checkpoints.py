@@ -51,7 +51,20 @@ class CheckpointStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        if self._local_root():
+            os.makedirs(root, exist_ok=True)
+
+    def _local_root(self) -> bool:
+        """True when `root` is a plain local path. The parquet SHIM's
+        driver-side metadata reads (_snapshot_id file-listing digest,
+        _lineage parquet footers, manifest JSON files) assume a local
+        filesystem; with a URI-schemed root (hdfs://, s3a://, ...) those
+        return None and materialize falls back to its one-agg-pass
+        lineage with snapshot_id null — resume still works off the
+        manifest, but snapshot pinning needs the Iceberg override
+        (IcebergCheckpointStore), whose snapshot ids come from the
+        catalog, not the filesystem."""
+        return "://" not in self.root
 
     # -- storage seam (parquet shim; Iceberg drop-in point) --------------
     def _data_path(self, stage: str) -> str:
@@ -78,10 +91,13 @@ class CheckpointStore:
         digests the written file listing (name:size), which changes on
         every overwrite. Recorded in the manifest so a resume provably
         reads the same table version the completed stage wrote, and so
-        the Iceberg swap's time-travel bookkeeping is already plumbed."""
+        the Iceberg swap's time-travel bookkeeping is already plumbed.
+        Local-FS only (see _local_root): None on URI-schemed roots."""
         import glob
         import hashlib
 
+        if not self._local_root():
+            return None
         files = sorted(
             glob.glob(os.path.join(self._data_path(stage), "*.parquet"))
         )
@@ -101,11 +117,14 @@ class CheckpointStore:
         storage seam: an Iceberg override reads the same numbers from the
         snapshot's manifest files. Returns None if footers are not
         available (e.g. a subclass storage without local files), in which
-        case materialize falls back to one aggregation pass."""
+        case materialize falls back to one aggregation pass.
+        Local-FS only (see _local_root): None on URI-schemed roots."""
         import glob
 
         import pyarrow.parquet as pq
 
+        if not self._local_root():
+            return None
         files = sorted(glob.glob(os.path.join(self._data_path(stage), "*.parquet")))
         if not files:
             return None
@@ -221,3 +240,85 @@ class CheckpointStore:
                     }
                 )
         return out
+
+
+class IcebergCheckpointStore(CheckpointStore):
+    """Iceberg-backed override of the storage seam (SURVEY.md §7.3.5).
+
+    Exactly four methods differ from the parquet shim — the swap the
+    design promised is mechanical. Stage tables live at
+    `<catalog>.<namespace>.<run>_<stage>`; JSON manifests stay on `root`
+    (any POSIX/shared path — they are driver-side bookkeeping, tiny).
+
+    To activate on a real cluster (requires the PUBLIC Iceberg Spark
+    runtime jar, coordinates per iceberg.apache.org — this sandbox has no
+    jar, which test_iceberg_contract works around by intercepting the
+    writeTo/read.table/sql calls and asserting the exact identifiers):
+
+      spark-submit \\
+        --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> \\
+        --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.\\
+IcebergSparkSessionExtensions \\
+        --conf spark.sql.catalog.ckpt=org.apache.iceberg.spark.SparkCatalog \\
+        --conf spark.sql.catalog.ckpt.type=hadoop \\
+        --conf spark.sql.catalog.ckpt.warehouse=hdfs://.../warehouse \\
+        ... jobs/run_dedup.py --checkpoint-iceberg ckpt.dedup.run1 ...
+
+    Snapshot ids come from the table's `.snapshots` metadata view (the
+    committed snapshot — real time travel via `VERSION AS OF <id>`);
+    per-partition lineage from the `.files` metadata view (record_count
+    per data file) — both metadata-only, no data pass, mirroring the
+    parquet shim's footer reads.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        catalog: str = "ckpt",
+        namespace: str = "checkpoints",
+        run: str = "run",
+    ):
+        super().__init__(spark, root)
+        self.catalog, self.namespace, self.run = catalog, namespace, run
+
+    def table_name(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{self.run}_{stage}"
+
+    def _write_table(self, df: DataFrame, stage: str) -> None:
+        df.writeTo(self.table_name(stage)).using("iceberg").createOrReplace()
+
+    def _read_table(self, stage: str) -> DataFrame:
+        return self.spark.read.table(self.table_name(stage))
+
+    def _snapshot_id(self, stage: str) -> str | None:
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table_name(stage)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return str(row["snapshot_id"]) if row else None
+
+    def _lineage(self, stage: str) -> list[dict] | None:
+        rows = self.spark.sql(
+            f"SELECT file_path, record_count FROM {self.table_name(stage)}.files "
+            "ORDER BY file_path"
+        ).collect()
+        if not rows:
+            return None
+        return [
+            {
+                "partition_id": i,
+                "rows": r["record_count"],
+                "file": r["file_path"].rsplit("/", 1)[-1],
+            }
+            for i, r in enumerate(rows)
+        ]
+
+    def read_snapshot(self, stage: str, snapshot_id: str) -> DataFrame:
+        """Time travel: the stage table exactly as the manifest pinned it."""
+        return (
+            self.spark.read.option("snapshot-id", snapshot_id)
+            .table(self.table_name(stage))
+        )
+
+

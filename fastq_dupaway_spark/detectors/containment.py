@@ -40,6 +40,8 @@ quarter of the corpus) — intrinsic, not overhead.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -229,6 +231,14 @@ def containment_hot_buckets(
 #: 16-gram window for the single-turn position index
 GRAM_LEN = 16
 
+#: default gram-index STRIDE (extreme-tier lever, STATUS.md known-limit
+#: #2): the container index keeps only every stride-th gram offset while
+#: each needle probes its first `stride` 16-grams — EXACT for needles of
+#: len >= GRAM_LEN + stride - 1 (see _gram_path_pairs proof), cutting the
+#: O(total_chars) index generation + distinct + exchange by ~stride.
+#: Needles below that length ride the multi-needle scan instead.
+GRAM_STRIDE = 4
+
 
 def _tail_path_pairs(conv_texts: DataFrame, max_bucket: int) -> DataFrame:
     """Mid-turn occurrences of MULTI-turn needles.
@@ -293,28 +303,51 @@ def _tail_path_pairs(conv_texts: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
-def _gram_path_pairs(conv_texts: DataFrame, max_bucket: int) -> DataFrame:
-    """Mid-turn occurrences of SINGLE-turn needles with len >= GRAM_LEN.
+def _gram_path_pairs(
+    conv_texts: DataFrame, max_bucket: int, stride: int = GRAM_STRIDE
+) -> DataFrame:
+    """Mid-turn occurrences of SINGLE-turn needles with
+    len >= GRAM_LEN + stride - 1.
 
     A needle without the separator lies inside exactly one turn of the
     container, so a rolling GRAM_LEN-gram position index over turn bytes
-    (id-only rows — THE discretized generalized-suffix-array pass:
-    O(total_bytes) index rows of ~28 fixed bytes, hash-partitioned)
-    blocks needle 16-prefixes to candidate (container, turn) slots;
-    verify is one JVM locate() after joining the turn text back once.
-    Hot grams (common English windows) are salted with needle-probe
-    replication like the prefix blocks. Single-turn needles SHORTER than
-    GRAM_LEN are served by the turn-boundary detector only (documented
-    limitation — a whole conversation under 16 chars is degenerate at
-    corpus scale).
+    (id-only rows — THE discretized generalized-suffix-array pass,
+    hash-partitioned) blocks needle 16-grams to candidate (container,
+    turn) slots; verify is one JVM locate() after joining the turn text
+    back once. Hot grams (common English windows) are salted with
+    needle-probe replication like the prefix blocks.
+
+    STRIDE (exact, not sampled): the container index keeps only offsets
+    o ≡ 1 (mod stride); each needle emits its 16-grams at offsets
+    1..stride. Proof of recall 1.0: an occurrence at container offset o
+    puts needle gram j (0-based) at container offset o+j; among the
+    stride consecutive offsets o..o+stride-1 exactly one is ≡ 1 (mod
+    stride), and that needle gram exists whenever
+    len(needle) >= GRAM_LEN + stride - 1 — so every true occurrence
+    shares at least one indexed (gh) key. This divides the O(total_chars)
+    index generation / distinct / exchange volume by ~stride while
+    multiplying only the tiny needle probe side by stride. Single-turn
+    needles SHORTER than GRAM_LEN + stride - 1 are served exactly by the
+    vectorized multi-needle scan (_short_needle_pairs) — the round-2
+    boundary-only carve-out no longer exists on any path.
     """
+    min_len = GRAM_LEN + stride - 1
     needles = (
         conv_texts.where(F.size("texts") == 1)
         .select("conv_id", F.element_at("texts", 1).alias("full"))
-        .where(F.length("full") >= GRAM_LEN)
+        .where(F.length("full") >= min_len)
         .select(
             "conv_id",
-            F.xxhash64(F.substring("full", 1, GRAM_LEN)).alias("gh"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(stride)),
+                        lambda j: F.xxhash64(
+                            F.substring("full", j, F.lit(GRAM_LEN))
+                        ),
+                    )
+                )
+            ).alias("gh"),
         )
     )
     turns = conv_texts.select(
@@ -327,7 +360,11 @@ def _gram_path_pairs(conv_texts: DataFrame, max_bucket: int) -> DataFrame:
             (F.col("tk0") + 1).alias("turn_k"),
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.length("turn") - (GRAM_LEN - 1)),
+                    F.sequence(
+                        F.lit(1),
+                        F.length("turn") - (GRAM_LEN - 1),
+                        F.lit(stride),
+                    ),
                     lambda o: F.xxhash64(F.substring("turn", o, F.lit(GRAM_LEN))),
                 )
             ).alias("gh"),
@@ -362,48 +399,129 @@ def _gram_path_pairs(conv_texts: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
-#: deterministic cap on the broadcast short-needle probe set; the
-#: remainder is surfaced by unindexed_short_needles, never silently lost
+#: deterministic cap on the short-needle scan set — purely a MEMORY guard
+#: on the driver collect + task closure (~100k needles of < ~20 chars is
+#: ~10 MB pickled); CPU cost of the scan is independent of needle count
+#: (one rolling-hash pass per distinct length — see _short_needle_pairs).
+#: The over-cap remainder is surfaced by unindexed_short_needles, never
+#: silently lost.
 SHORT_NEEDLE_CAP = 100_000
 
+#: odd multiplier for the scan's polynomial rolling hash (uint64
+#: wraparound arithmetic; the exact substring verify kills collisions)
+_SCAN_P = np.uint64(1099511628211)
 
-def _short_needles(conv_texts: DataFrame) -> DataFrame:
-    """Single-turn conversations shorter than GRAM_LEN chars (non-empty):
-    the one needle class the gram index cannot block."""
+
+def _short_needles(
+    conv_texts: DataFrame, stride: int = GRAM_STRIDE
+) -> DataFrame:
+    """Single-turn conversations shorter than GRAM_LEN + stride - 1 chars
+    (non-empty): the needle class the strided gram index cannot block."""
     return (
         conv_texts.where(F.size("texts") == 1)
         .select("conv_id", F.element_at("texts", 1).alias("full"))
-        .where((F.length("full") >= 1) & (F.length("full") < GRAM_LEN))
+        .where(
+            (F.length("full") >= 1)
+            & (F.length("full") < GRAM_LEN + stride - 1)
+        )
     )
 
 
 def _short_needle_pairs(
-    conv_texts: DataFrame, max_short: int = SHORT_NEEDLE_CAP
+    conv_texts: DataFrame,
+    max_short: int = SHORT_NEEDLE_CAP,
+    stride: int = GRAM_STRIDE,
 ) -> DataFrame:
-    """Mid-turn occurrences of single-turn needles SHORTER than GRAM_LEN
-    (closes the round-2 documented carve-out).
+    """Mid-turn occurrences of single-turn needles SHORTER than
+    GRAM_LEN + stride - 1: one vectorized MULTI-NEEDLE scan.
 
-    A short needle is an entire CONVERSATION under 16 chars — a degenerate
-    class that is tiny on any real corpus, so the needle set is BROADCAST
-    and probed against each container turn with one JVM locate(): exact
-    for every length 1..GRAM_LEN-1 in a single corpus scan, no per-length
-    gram index (a length-stratified index would re-scan turn bytes once
-    per distinct short length present). Cost is O(turns x n_short) locate
-    probes with NO shuffle of the corpus (broadcast nested-loop join);
-    bounded by the deterministic smallest-conv_id cap max_short — the
-    remainder is surfaced by unindexed_short_needles and counted in the
-    pipeline manifest rather than silently dropped.
+    A short needle is an entire CONVERSATION under ~20 chars — a
+    degenerate class that is tiny on any real corpus. The needle set
+    (bounded by max_short, a deterministic smallest-conv_id driver
+    collect — the cap is a MEMORY guard on the task closure, the
+    remainder surfaced by unindexed_short_needles) rides the mapInPandas
+    closure; each Arrow batch of container turns is scanned ONCE per
+    distinct needle length with a vectorized polynomial rolling hash over
+    a flat UTF-32 buffer (Horner: L numpy passes of O(batch_chars)), hit
+    positions checked against the sorted needle-hash table via
+    searchsorted, then exact-substring-verified. Cost is
+    O(batch_chars x n_distinct_lengths) — INDEPENDENT of needle count
+    (the round-3 broadcast nested-loop locate() was
+    O(turn_chars x n_short), intractable at 10^12 turns), with no
+    shuffle of the corpus and no per-row Python in the hot loop.
     """
-    short = F.broadcast(_short_needles(conv_texts).orderBy("conv_id").limit(max_short))
-    turns = conv_texts.select(
+    short_rows = (
+        _short_needles(conv_texts, stride)
+        .orderBy("conv_id")
+        .limit(max_short)
+        .collect()  # bounded by max_short: the explicit memory guard
+    )
+    spark = conv_texts.sparkSession
+    if not short_rows:
+        return spark.createDataFrame([], "conv_a string, conv_b string")
+
+    # length -> (sorted uint64 hashes, per-hash [(text, [conv_ids])...])
+    by_len: dict[int, dict[str, list[str]]] = {}
+    for r in short_rows:
+        by_len.setdefault(len(r["full"]), {}).setdefault(r["full"], []).append(
+            r["conv_id"]
+        )
+    tables: list[tuple[int, np.ndarray, list]] = []
+    for length, texts in sorted(by_len.items()):
+        groups: dict[int, list] = {}  # hash -> [(text, cids)...] (collisions merged)
+        for txt, cids in texts.items():
+            h = np.zeros(1, dtype=np.uint64)  # array ops: silent uint64 wrap
+            for c in np.frombuffer(txt.encode("utf-32-le"), np.uint32):
+                h = h * _SCAN_P + np.uint64(c)
+            groups.setdefault(int(h[0]), []).append((txt, cids))
+        hs = np.asarray(sorted(groups), dtype=np.uint64)
+        tables.append((length, hs, [groups[int(h)] for h in hs]))
+
+    def scan(batches):
+        for pdf in batches:
+            turns = [t if t is not None else "" for t in pdf["turn"]]
+            cids = pdf["container_id"].tolist()
+            enc = [t.encode("utf-32-le") for t in turns]
+            lens = np.fromiter((len(e) >> 2 for e in enc), np.int64, len(enc))
+            total = int(lens.sum())
+            if not total:
+                continue
+            flat = np.frombuffer(b"".join(enc), np.uint32).astype(np.uint64)
+            char_turn = np.repeat(np.arange(len(enc)), lens)
+            out_a: list[str] = []
+            out_b: list[str] = []
+            for length, nh, entries in tables:
+                m = total - length + 1
+                if m <= 0:
+                    continue
+                h = np.zeros(m, dtype=np.uint64)
+                for j in range(length):  # Horner: L vectorized passes
+                    h = h * _SCAN_P + flat[j : j + m]
+                # windows straddling a turn boundary are invalid
+                valid = char_turn[:m] == char_turn[length - 1 : length - 1 + m]
+                pos = np.minimum(np.searchsorted(nh, h), len(nh) - 1)
+                hit = (nh[pos] == h) & valid
+                if not hit.any():
+                    continue
+                # dedup to (turn, needle-hash) BEFORE the exact verify:
+                # hit volume is bounded by the true pair relation, not by
+                # occurrence count (a 1-char needle may occur millions of
+                # times in one turn but yields one pair)
+                tn = np.unique(np.stack([char_turn[:m][hit], pos[hit]]), axis=1)
+                for trow, ni in tn.T:
+                    for txt, needle_cids in entries[int(ni)]:
+                        if txt in turns[int(trow)]:  # kills hash collisions
+                            out_a.extend([cids[int(trow)]] * len(needle_cids))
+                            out_b.extend(needle_cids)
+            if out_a:
+                yield pd.DataFrame({"container_id": out_a, "conv_id": out_b})
+
+    turns_df = conv_texts.select(
         F.col("conv_id").alias("container_id"), F.explode("texts").alias("turn")
     )
+    pairs = turns_df.mapInPandas(scan, "container_id string, conv_id string")
     return (
-        turns.join(
-            short,
-            (F.col("conv_id") != F.col("container_id"))
-            & (F.expr("locate(full, turn)") > 0),
-        )
+        pairs.where(F.col("conv_id") != F.col("container_id"))
         .select(
             F.least("conv_id", "container_id").alias("conv_a"),
             F.greatest("conv_id", "container_id").alias("conv_b"),
@@ -412,17 +530,20 @@ def _short_needle_pairs(
 
 
 def unindexed_short_needles(
-    conv_texts: DataFrame, max_short: int = SHORT_NEEDLE_CAP
+    conv_texts: DataFrame,
+    max_short: int = SHORT_NEEDLE_CAP,
+    stride: int = GRAM_STRIDE,
 ) -> DataFrame:
-    """Quarantine surface: short needles beyond the broadcast cap (empty
-    on any non-pathological corpus)."""
-    return _short_needles(conv_texts).orderBy("conv_id").offset(max_short)
+    """Quarantine surface: short needles beyond the scan-closure memory
+    cap (empty on any non-pathological corpus)."""
+    return _short_needles(conv_texts, stride).orderBy("conv_id").offset(max_short)
 
 
 def char_containment_pairs(
     conv_texts: DataFrame,
     max_bucket: int = 4000,
     max_short: int = SHORT_NEEDLE_CAP,
+    gram_stride: int = GRAM_STRIDE,
 ) -> DataFrame:
     """(conv_a, conv_b): conv_a's canonical composite text occurs ANYWHERE
     in conv_b's composite text (char-level generalized substring
@@ -432,16 +553,20 @@ def char_containment_pairs(
     boundaries): boundary-aligned occurrences come from containment_pairs;
     mid-turn occurrences of multi-turn needles from the tail path (suffix
     blocks reused, |turns|*PREFIX_LEN id rows); mid-turn occurrences of
-    single-turn needles >= GRAM_LEN from the rolling-gram position index
-    (O(total_bytes) id rows — priced like a distributed suffix array,
-    which it discretizes); single-turn needles SHORTER than GRAM_LEN from
-    the broadcast locate() probe (capped + surfaced, see
-    _short_needle_pairs — the round-2 boundary-only carve-out is gone).
+    single-turn needles >= GRAM_LEN + gram_stride - 1 from the STRIDED
+    rolling-gram position index (O(total_bytes / stride) id rows — priced
+    like a sampled distributed suffix array but with an exactness proof,
+    see _gram_path_pairs); the remaining short single-turn needles from
+    the vectorized multi-needle scan (one rolling-hash pass per distinct
+    length, cost independent of needle count — see _short_needle_pairs).
+    gram_stride=1 reproduces the dense round-3 index; every stride is
+    EXACT (recall 1.0), the knob only trades index volume against
+    (stride x tiny) needle-probe fan-out and the scan's length ceiling.
     """
     base = containment_pairs(conv_texts, max_bucket)
     tail = _tail_path_pairs(conv_texts, max_bucket)
-    gram = _gram_path_pairs(conv_texts, max_bucket)
-    short = _short_needle_pairs(conv_texts, max_short)
+    gram = _gram_path_pairs(conv_texts, max_bucket, gram_stride)
+    short = _short_needle_pairs(conv_texts, max_short, gram_stride)
     return (
         base.unionByName(tail).unionByName(gram).unionByName(short).distinct()
     )

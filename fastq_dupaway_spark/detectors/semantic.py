@@ -45,9 +45,16 @@ def _buckets(
     id_col: str = "conv_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(conv_id, bucket) — one row per (vector, table)."""
+    """(conv_id, bucket) — one row per (vector, table).
+
+    NULL-embedding rows are dropped here (documented external-encoder
+    contract: no vector, no semantic detection for that conversation —
+    the other detectors still see it); zero vectors bucket
+    deterministically and are then excluded by the cosine verify (0/0
+    similarity is NULL, never >= threshold). A declared-vs-actual dim
+    mismatch raises from the bucketing kernel with a clear message."""
     return hyperplane_signatures(
-        embeddings,
+        embeddings.where(F.col(vec_col).isNotNull()),
         n_planes=n_planes,
         dim=dim,
         seed=seed,
@@ -115,9 +122,13 @@ def verify_cosine_pairs(
         F.col(id_col).alias("conv_b"), F.col(vec_col).alias("vb")
     )
     joined = candidates.select("conv_a", "conv_b").join(a, "conv_a").join(b, "conv_b")
+    # try_divide: a zero vector has norm 0 — its cosine is NULL (never
+    # >= threshold) instead of an ANSI DIVIDE_BY_ZERO job failure
     cos = F.round(
-        F.expr(_DOT.format(a="va", b="vb"))
-        / (F.expr(_norm("va")) * F.expr(_norm("vb"))),
+        F.try_divide(
+            F.expr(_DOT.format(a="va", b="vb")),
+            F.expr(_norm("va")) * F.expr(_norm("vb")),
+        ),
         round_digits,
     )
     return (

@@ -93,7 +93,10 @@ def conversation_simhashes(conv_texts: DataFrame) -> DataFrame:
 
 
 def token_idf_weights(
-    conv_texts: DataFrame, top_k: int = 1 << 15
+    conv_texts: DataFrame,
+    top_k: int = 1 << 15,
+    sample_fraction: float = 1.0,
+    seed: int = 42,
 ) -> tuple[list[tuple[int, float]], float]:
     """IDF weights for the top_k most document-frequent token hashes.
 
@@ -102,11 +105,20 @@ def token_idf_weights(
     token OUTSIDE the top-k (rare tokens all sit near the idf ceiling, so
     truncating the tail loses almost nothing while keeping the weight
     table broadcastable: top-k rows vs a 10^9-token vocabulary at corpus
-    scale). One aggregation job over (conv_id, token_hash) distinct pairs;
-    at 100 TB this runs on a sample — frequency ranks of HEAVY tokens are
-    stable under sampling, and only heavy tokens matter here.
+    scale). One aggregation job over (conv_id, token_hash) distinct pairs.
+
+    sample_fraction < 1 aggregates over a Bernoulli CONVERSATION sample
+    instead of the full corpus — the 100 TB path: idf ratios
+    (n_convs / df) are preserved in expectation under row sampling, and
+    frequency RANKS of the heavy tokens (the only ones that fit top_k)
+    are stable down to small fractions, so the separation the weighting
+    buys survives sampling (enforced by
+    test_weighted_simhash_sampled_idf_preserves_separation).
     """
     import math
+
+    if sample_fraction < 1.0:
+        conv_texts = conv_texts.sample(fraction=sample_fraction, seed=seed)
 
     hashed = conv_texts.select(
         "conv_id",
@@ -305,10 +317,14 @@ def simhash_pairs_weighted(
     bit_threshold: int = 3,
     max_bucket: int = 512,
     top_k: int = 1 << 15,
+    idf_sample_fraction: float = 1.0,
 ) -> DataFrame:
     """simhash_pairs with tf-idf weighting: one extra aggregation job for
-    the top-k weight table, then the identical banding/verify plan."""
-    weights, default_idf = token_idf_weights(conv_texts, top_k)
+    the top-k weight table (over a sample when idf_sample_fraction < 1 —
+    the 100 TB default), then the identical banding/verify plan."""
+    weights, default_idf = token_idf_weights(
+        conv_texts, top_k, idf_sample_fraction
+    )
     sims = conversation_simhashes_weighted(conv_texts, weights, default_idf)
     cands = candidate_pairs(sims, bit_threshold, max_bucket)
     return (

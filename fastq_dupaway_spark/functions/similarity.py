@@ -50,8 +50,12 @@ def cosine_topk(
         .withColumn(
             "sim",
             F.round(
-                F.expr(_DOT.format(a="qvec", b="cvec"))
-                / (F.expr(_norm("qvec")) * F.expr(_norm("cvec"))),
+                # try_divide: zero-norm vectors score NULL, not an ANSI
+                # DIVIDE_BY_ZERO failure
+                F.try_divide(
+                    F.expr(_DOT.format(a="qvec", b="cvec")),
+                    F.expr(_norm("qvec")) * F.expr(_norm("cvec")),
+                ),
                 round_digits,
             ),
         )
@@ -86,7 +90,16 @@ def hyperplane_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vs: pd.Series) -> pd.Series:
-        mat = np.stack(vs.to_numpy())  # (batch, dim)
+        arr = vs.to_numpy()
+        # clear contract error instead of np.stack's ragged-array crash
+        bad = {(-1 if v is None else len(v)) for v in arr} - {dim}
+        if bad:
+            raise ValueError(
+                f"embedding dim mismatch: hyperplanes built for dim={dim}, "
+                f"got vectors of dim {sorted(bad)} (-1 = NULL; NULL rows "
+                "must be filtered by the caller)"
+            )
+        mat = np.stack(arr)  # (batch, dim)
         out = []
         per_table = [
             ((mat @ planes[t].T) > 0) @ weights + (t << n_planes)
@@ -139,8 +152,10 @@ def cosine_topk_lsh(
         .withColumn(
             "sim",
             F.round(
-                F.expr(_DOT.format(a="qvec", b="cvec"))
-                / (F.expr(_norm("qvec")) * F.expr(_norm("cvec"))),
+                F.try_divide(
+                    F.expr(_DOT.format(a="qvec", b="cvec")),
+                    F.expr(_norm("qvec")) * F.expr(_norm("cvec")),
+                ),
                 4,
             ),
         )

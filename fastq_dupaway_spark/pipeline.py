@@ -60,6 +60,10 @@ class DedupConfig:
     # char-level generalized substring containment (needle ANYWHERE in
     # the container composite, not just at turn boundaries)
     char_containment: bool = False
+    # gram-index stride for char_containment — EXACT at every value
+    # (containment.GRAM_STRIDE proof); higher = smaller gram index,
+    # 1 = the dense index
+    char_gram_stride: int = 4
     # semantic (embedding-cosine) detector: uses the embeddings frame
     # (conv_id, embedding array<float>) passed to run_pipeline, or —
     # with semantic_embedder="feature_hash" — derives deterministic
@@ -78,6 +82,11 @@ class DedupConfig:
     # where shared boilerplate compresses unweighted simhash distances
     simhash_weighted: bool = False
     simhash_idf_top_k: int = 1 << 15
+    # idf aggregation sample fraction (1.0 = full corpus); heavy-token
+    # ranks are sampling-stable, so < 1 is the 100 TB setting — it turns
+    # the one corpus-wide (conv, token) distinct aggregation into a
+    # sample-sized one
+    simhash_idf_sample: float = 1.0
     shingle_n: int = 3
     minhash_k: int = 128
     minhash_bands: int = 16
@@ -237,12 +246,18 @@ def run_pipeline(
                 # the manifest row count makes any loss visible)
                 stage(
                     "containment_unindexed_needles",
-                    lambda: unindexed_short_needles(ct),
+                    lambda: unindexed_short_needles(
+                        ct, stride=config.char_gram_stride
+                    ),
                 )
             pair_sets.append(
                 stage(
                     "char_containment_pairs",
-                    lambda: char_containment_pairs(ct, config.max_bucket),
+                    lambda: char_containment_pairs(
+                        ct,
+                        config.max_bucket,
+                        gram_stride=config.char_gram_stride,
+                    ),
                 )
             )
         if config.simhash:
@@ -256,7 +271,12 @@ def run_pipeline(
                         token_idf_weights,
                     )
 
-                    w, d = token_idf_weights(ct, config.simhash_idf_top_k)
+                    w, d = token_idf_weights(
+                        ct,
+                        config.simhash_idf_top_k,
+                        config.simhash_idf_sample,
+                        config.seed,
+                    )
                     return conversation_simhashes_weighted(ct, w, d)
                 return conversation_simhashes(ct)
 
@@ -270,6 +290,7 @@ def run_pipeline(
                             bit_threshold=config.simhash_bit_threshold,
                             max_bucket=config.max_bucket,
                             top_k=config.simhash_idf_top_k,
+                            idf_sample_fraction=config.simhash_idf_sample,
                         )
                     )
                 else:
@@ -362,16 +383,26 @@ def run_pipeline(
             if embeddings is None:  # feature_hash mode
                 from .functions.embed import feature_hash_embeddings
 
-                fh_dim = config.semantic_dim or 64
+                dim = config.semantic_dim or 64
                 embeddings = stage(
                     "semantic_embeddings",
-                    lambda: feature_hash_embeddings(ct, fh_dim),
+                    lambda: feature_hash_embeddings(ct, dim),
                 )
-            dim = config.semantic_dim or (
-                embeddings.select(
-                    F.size("embedding").alias("d")
-                ).first()["d"]
-            )
+            else:
+                dim = config.semantic_dim
+                if dim is None:
+                    # one bounded driver action, only when the dim is not
+                    # declared; external-encoder users should set
+                    # semantic_dim to skip it
+                    row = embeddings.select(
+                        F.size("embedding").alias("d")
+                    ).first()
+                    if row is None or row["d"] is None:
+                        raise ValueError(
+                            "embeddings frame is empty (or first embedding "
+                            "is NULL); set config.semantic_dim explicitly"
+                        )
+                    dim = row["d"]
             sem_args = dict(
                 n_planes=config.semantic_planes,
                 n_tables=config.semantic_tables,

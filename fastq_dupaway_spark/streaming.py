@@ -68,13 +68,20 @@ def write_transcripts_stream(
 # (applyInPandasWithState — the north-star's custom stateful operator)
 # ---------------------------------------------------------------------------
 
-_PAIR_SCHEMA = "conv_a string, conv_b string"
-_STATE_SCHEMA = "seen array<string>"
+_PAIR_SCHEMA = "conv_a string, conv_b string, bucket_n long"
+_STATE_SCHEMA = "seen array<string>, n_seen long"
 
 
 def _bucket_update(max_state: int, timeout_minutes: int):
     """Stateful update fn for one LSH bucket (module-level factory so the
     timeout path is unit-testable with a fake GroupState).
+
+    Each emitted pair row carries `bucket_n` — the bucket's cumulative
+    ARRIVAL count at emission time. Rows with bucket_n > max_state are
+    the streaming analog of the batch hot_buckets quarantine surface:
+    over-cap arrivals still pair against the stored representatives
+    (cluster joins survive the cap), and the counter makes the overflow
+    VISIBLE to consumers instead of silent (round-3 verdict item 7).
 
     Timeout invocations (ProcessingTimeTimeout fired on an idle bucket)
     arrive with an EMPTY batch iterator and state.hasTimedOut=True: the
@@ -86,21 +93,30 @@ def _bucket_update(max_state: int, timeout_minutes: int):
         if state.hasTimedOut:
             state.remove()
             return
-        seen: list[str] = list(state.get[0]) if state.exists else []
+        if state.exists:
+            seen: list[str] = list(state.get[0])
+            n_seen = int(state.get[1])
+        else:
+            seen, n_seen = [], 0
         pairs_a: list[str] = []
         pairs_b: list[str] = []
+        pair_n: list[int] = []
         for pdf in pdfs:
             for cid in pdf["conv_id"]:
+                n_seen += 1
                 for other in seen:
                     if other != cid:
                         pairs_a.append(min(other, cid))
                         pairs_b.append(max(other, cid))
+                        pair_n.append(n_seen)
                 if len(seen) < max_state and cid not in seen:
                     seen.append(cid)
-        state.update((seen,))
+        state.update((seen, n_seen))
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         if pairs_a:
-            yield pd.DataFrame({"conv_a": pairs_a, "conv_b": pairs_b})
+            yield pd.DataFrame(
+                {"conv_a": pairs_a, "conv_b": pairs_b, "bucket_n": pair_n}
+            )
 
     return update
 
@@ -183,7 +199,9 @@ def streaming_lsh_candidates(
     expires idle buckets). Every arriving conversation emits a candidate
     pair against each stored bucket member; downstream verification (exact
     Jaccard in the nightly batch, which remains the authority) filters
-    false bucket collisions. Output: (conv_a, conv_b) append stream.
+    false bucket collisions. Output: (conv_a, conv_b, bucket_n) append
+    stream — rows with bucket_n > max_state surface hot streaming keys
+    (the batch hot_buckets analog, see _bucket_update).
     """
     update = _bucket_update(max_state, timeout_minutes)
     bands = streaming_minhash_bands(conv_stream, n, k, n_bands, seed)

@@ -143,10 +143,16 @@ def main(argv=None) -> None:
     res.survivors.write.mode("overwrite").parquet(f"{args.output}/survivors")
     if args.write_clusters:
         res.clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+    n_quar = 0
     if res.quarantined is not None:
-        res.quarantined.write.mode("overwrite").parquet(
-            f"{args.output}/quarantine"
-        )
+        # the counter rides the write job (observe) — no second action
+        from pyspark.sql import Observation
+
+        obs = Observation("quarantine_rows")
+        res.quarantined.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").parquet(f"{args.output}/quarantine")
+        n_quar = obs.get["n"]
     summary = res.clusters.agg(
         F.count("*").alias("n_all"),
         F.sum(
@@ -154,7 +160,6 @@ def main(argv=None) -> None:
         ).alias("n_surv"),
     ).first()
     n_all, n_surv = summary["n_all"], summary["n_surv"] or 0
-    n_quar = res.quarantined.count() if res.quarantined is not None else 0
     # the reference's --verbose counters (src/seq_dup_remover.hpp:107-108)
     print(
         f"tot_convs={n_all} dup_convs={n_all - n_surv} survivors={n_surv} "

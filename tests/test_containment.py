@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from itertools import combinations
 
+import pytest
+
 from fastq_dupaway_spark import corpus
 from fastq_dupaway_spark.canonicalize import conversation_texts
 from fastq_dupaway_spark.detectors.containment import (
@@ -166,3 +168,56 @@ class TestCharContainment:
         }
         assert ("big", "s0") in got          # probed needle found mid-turn
         assert ("big", "s5") not in got      # beyond cap: surfaced, not probed
+
+
+class TestGramStride:
+    """The strided gram index is EXACT at every stride (the mod-s
+    alignment proof in _gram_path_pairs): needles at every length around
+    the GRAM_LEN / GRAM_LEN+stride-1 boundary, placed at every container
+    offset residue mod stride, yield the identical pair relation as the
+    dense stride-1 index and the brute-force oracle."""
+
+    def _convs(self):
+        base = "abcdefghijklmnopqrstuvwxyz0123456789"  # 36 chars, all distinct
+        convs = []
+        # needles straddling the scan/gram-path boundary for strides 1..5:
+        # lengths GRAM_LEN-2 .. GRAM_LEN+5 (14..21)
+        for length in range(14, 22):
+            convs.append((f"needle{length:02d}", [base[:length]]))
+        # containers shifting the occurrence through every offset mod 5
+        for off in range(6):
+            convs.append((f"cont{off}", ["x" * off + base + " trailing words"]))
+        # a needle that appears in NO container
+        convs.append(("miss", ["zzzz_not_present_zzzz"]))
+        return convs
+
+    def _brute(self, convs):
+        us = "\x1f"
+        comp = {cid: us.join(t) for cid, t in convs}
+        return {
+            tuple(sorted((a, b)))
+            for a in comp
+            for b in comp
+            if a != b and comp[a] in comp[b]
+        }
+
+    @pytest.mark.parametrize("stride", [1, 2, 4, 5])
+    def test_stride_exact_at_every_offset(self, spark, stride):
+        from fastq_dupaway_spark.detectors.containment import (
+            char_containment_pairs,
+        )
+
+        convs = self._convs()
+        ct = conversation_texts(corpus.conv_df(spark, convs))
+        got = {
+            tuple(sorted((r["conv_a"], r["conv_b"])))
+            for r in char_containment_pairs(ct, gram_stride=stride).collect()
+        }
+        want = self._brute(convs)
+        assert got == want
+        # every (needle, container) pair is actually in the relation
+        assert all(
+            (f"cont{off}", f"needle{ln:02d}") in {tuple(sorted(p)) for p in want}
+            for off in range(6)
+            for ln in range(14, 22)
+        )

@@ -168,7 +168,7 @@ def test_bucket_update_timeout_removes_state():
     from fastq_dupaway_spark.streaming import _bucket_update
 
     update = _bucket_update(max_state=4, timeout_minutes=1)
-    st = _FakeGroupState(exists=True, value=(["a", "b"],), timed_out=True)
+    st = _FakeGroupState(exists=True, value=(["a", "b"], 2), timed_out=True)
     assert list(update(("k",), iter([]), st)) == []
     assert st.removed
     assert st.updated is None and st.timeout_ms is None  # not re-armed
@@ -177,7 +177,8 @@ def test_bucket_update_timeout_removes_state():
 def test_bucket_update_pairs_and_state_bound():
     """Normal path: every arrival pairs against stored members; state is
     capped at max_state but over-cap arrivals still PAIR (cluster joins
-    survive the cap)."""
+    survive the cap), and each pair row carries the bucket's cumulative
+    arrival count (the over-cap quarantine surface)."""
     import pandas as pd
 
     from fastq_dupaway_spark.streaming import _bucket_update
@@ -188,8 +189,35 @@ def test_bucket_update_pairs_and_state_bound():
     out = list(update(("k",), batches, st))
     pairs = set(zip(out[0]["conv_a"], out[0]["conv_b"]))
     assert pairs == {("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")}
-    assert st.updated == (["a", "b"],)  # capped at max_state=2
+    assert st.updated == (["a", "b"], 4)  # capped members + total arrivals
     assert st.timeout_ms == 60_000 and not st.removed
+    # over-cap arrivals (c is #3, d is #4 against max_state=2) are marked
+    by_pair = dict(
+        zip(zip(out[0]["conv_a"], out[0]["conv_b"]), out[0]["bucket_n"])
+    )
+    assert by_pair[("a", "b")] == 2          # emitted within cap
+    assert by_pair[("a", "d")] == 4 > 2      # emitted over cap: surfaced
+
+
+def test_bucket_update_over_cap_counter_across_batches():
+    """A planted hot stream key keeps counting across micro-batches: the
+    resumed state carries n_seen, so later batches emit bucket_n above
+    max_state — the cross-batch over-cap surface (round-3 verdict item 7)."""
+    import pandas as pd
+
+    from fastq_dupaway_spark.streaming import _bucket_update
+
+    update = _bucket_update(max_state=2, timeout_minutes=1)
+    # micro-batch 1 fills the bucket to the cap
+    st1 = _FakeGroupState()
+    list(update(("hot",), iter([pd.DataFrame({"conv_id": ["a", "b"]})]), st1))
+    assert st1.updated == (["a", "b"], 2)
+    # micro-batch 2 resumes that state; every new arrival is over-cap
+    st2 = _FakeGroupState(exists=True, value=st1.updated)
+    out = list(update(("hot",), iter([pd.DataFrame({"conv_id": ["x", "y"]})]), st2))
+    assert st2.updated == (["a", "b"], 4)  # members still capped
+    assert out[0]["bucket_n"].min() > 2    # all marked over-cap
+    assert set(out[0]["conv_a"]) | set(out[0]["conv_b"]) == {"a", "b", "x", "y"}
 
 
 def _near_dup_stream_corpus():

@@ -125,6 +125,10 @@ def test_quarantine_stage_routes_malformed_rows(spark, tmp_path):
         for r in res.survivors.where(F.col("conv_id") == "00004").collect()
     }
     assert surv4 == {"tab inside"}
+    # quarantined rows carry the ORIGINAL raw bytes (forensic fidelity —
+    # ADVICE r3: the offending \x00 must not be rewritten)
+    quar_texts = {r["text"] for r in res.quarantined.collect()}
+    assert "bad\x00byte here" in quar_texts
 
 
 def test_observed_counters_in_manifest(spark, tmp_path):

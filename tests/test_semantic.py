@@ -4,6 +4,7 @@ verify precision, hot-bucket policy, pipeline + checkpoint integration."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from fastq_dupaway_spark import corpus
@@ -264,3 +265,77 @@ def test_pipeline_semantic_requires_embeddings(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "embeddings" in str(e)
+
+
+class TestExternalEncoderContract:
+    """VERDICT r3 item 6: the 'swap in a learned encoder' claim
+    (functions/embed.py) as an enforced contract — float32 vectors of a
+    NON-default dim flow through run_pipeline(embeddings=...), with the
+    documented edge semantics: dim inferred from the frame, NULL rows
+    excluded from semantic pairing (but still visible to other
+    detectors), zero vectors never pair (cosine NULL), empty frames and
+    declared-dim mismatches fail loudly."""
+
+    DIM8 = 8
+
+    def _corpus(self, spark):
+        convs = [
+            ("e0", ["first distinct conversation text"]),
+            ("e1", ["second distinct conversation text"]),   # e0's twin vector
+            ("e2", ["third distinct conversation text"]),    # NULL embedding
+            ("e3", ["fourth distinct conversation text"]),   # zero vector
+            ("e4", ["fifth distinct conversation text"]),
+            ("e5", ["sixth distinct conversation text"]),
+        ]
+        return corpus.conv_df(spark, convs)
+
+    def _embeddings(self, spark):
+        rng = np.random.RandomState(11)
+        v0 = rng.standard_normal(self.DIM8)
+        v4, v5 = rng.standard_normal(self.DIM8), rng.standard_normal(self.DIM8)
+        rows = [
+            ("e0", [float(x) for x in v0]),
+            ("e1", [float(x) for x in v0 + 0.01 * rng.standard_normal(self.DIM8)]),
+            ("e2", None),
+            ("e3", [0.0] * self.DIM8),
+            ("e4", [float(x) for x in v4]),
+            ("e5", [float(x) for x in v5]),
+        ]
+        return spark.createDataFrame(rows, "conv_id string, embedding array<float>")
+
+    def _cfg(self, **kw):
+        return DedupConfig(
+            exact=True,
+            semantic=True,
+            semantic_threshold=0.9,
+            semantic_planes=2,
+            semantic_tables=8,
+            **kw,
+        )
+
+    def test_float32_external_vectors_roundtrip(self, spark):
+        res = run_pipeline(
+            self._corpus(spark), self._cfg(), embeddings=self._embeddings(spark)
+        )
+        reps = {
+            r["conv_id"]: r["rep_conv_id"] for r in res.clusters.collect()
+        }
+        assert reps["e0"] == reps["e1"] == "e0"      # twin vectors pair
+        # NULL-embedding and zero-vector conversations stay singletons
+        for cid in ("e2", "e3", "e4", "e5"):
+            assert reps[cid] == cid
+
+    def test_empty_embeddings_frame_raises(self, spark):
+        empty = spark.createDataFrame(
+            [], "conv_id string, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="semantic_dim"):
+            run_pipeline(self._corpus(spark), self._cfg(), embeddings=empty)
+
+    def test_declared_dim_mismatch_fails_loudly(self, spark):
+        with pytest.raises(Exception, match="dim mismatch"):
+            run_pipeline(
+                self._corpus(spark),
+                self._cfg(semantic_dim=16),  # vectors are dim 8
+                embeddings=self._embeddings(spark),
+            ).clusters.collect()

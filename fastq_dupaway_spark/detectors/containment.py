@@ -563,10 +563,28 @@ def char_containment_pairs(
     EXACT (recall 1.0), the knob only trades index volume against
     (stride x tiny) needle-probe fan-out and the scan's length ceiling.
     """
-    base = containment_pairs(conv_texts, max_bucket)
-    tail = _tail_path_pairs(conv_texts, max_bucket)
-    gram = _gram_path_pairs(conv_texts, max_bucket, gram_stride)
-    short = _short_needle_pairs(conv_texts, max_short, gram_stride)
+    # the four paths are independent until the final union, but each path's
+    # construction runs blocking driver work (the pruned-block
+    # localCheckpoint in _salted_blocks_and_probes; the short-needle
+    # collect) — serially that is 4 back-to-back jobs of constant driver
+    # latency. Building them on a small thread pool lets the Spark
+    # scheduler run those jobs CONCURRENTLY (thread-safe: each thread only
+    # submits jobs on the shared session), cutting the per-call constant
+    # that dominates this detector's small-corpus floor.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        base_f = pool.submit(containment_pairs, conv_texts, max_bucket)
+        tail_f = pool.submit(_tail_path_pairs, conv_texts, max_bucket)
+        gram_f = pool.submit(
+            _gram_path_pairs, conv_texts, max_bucket, gram_stride
+        )
+        short_f = pool.submit(
+            _short_needle_pairs, conv_texts, max_short, gram_stride
+        )
+        base, tail, gram, short = (
+            base_f.result(), tail_f.result(), gram_f.result(), short_f.result()
+        )
     return (
         base.unionByName(tail).unionByName(gram).unionByName(short).distinct()
     )

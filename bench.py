@@ -170,13 +170,24 @@ def conv_embeddings(spark, t, sf_dir: str):
     data: derived from embeddings.parquet base vectors + the conv_id).
 
     anchor(doc, replica) = base[doc % B] cyclically rolled by a
-    (doc, replica)-dependent shift — rolls of a random unit vector are
-    near-orthogonal, so docs and replicas stay mutually unrelated (work
-    scales linearly in replicas, mirroring the text rewrite). Variants 0/1
-    of a doc share the anchor plus a SMALL perturbation (planted semantic
-    near-pair, cos ~0.997); variants 2/3 get a LARGE one (unrelated).
-    Planted-hot conversations all share one constant vector — the semantic
-    analog of the boilerplate hot cluster, overflowing the bucket cap.
+    (doc, replica)-dependent shift, then multiplied elementwise by a
+    RADEMACHER (+-1) sign pattern drawn from a splitmix64-style hash of
+    (doc, replica). The signs are the load-bearing part: roll alone has
+    only B x dim = 128k distinct anchor slots at sf0.1, so beyond ~17
+    replicas different (doc, replica) groups COLLIDE on an anchor and
+    become genuine cos~0.997 near-pairs — a true relation growing
+    QUADRATICALLY in replicas (the semantic analog of the round-3
+    hot-cluster scaling confound: at x48 it planted ~7x more real
+    near-pairs than the intended v0/v1 relation and blew the semantic
+    bench row up super-linearly). Sign-flipping keeps unit norm, keeps
+    E[cos]=0 between different patterns, and gives 2^dim effective
+    slots, so docs and replicas stay mutually unrelated and work scales
+    linearly in replicas, mirroring the text rewrite. Variants 0/1 of a
+    (doc, replica) group share the signed anchor plus a SMALL
+    perturbation (planted semantic near-pair, cos ~0.997); variants 2/3
+    get a LARGE one (unrelated). Planted-hot conversations all share one
+    constant vector — the semantic analog of the boilerplate hot
+    cluster, overflowing the bucket cap.
     """
     import pyarrow.parquet as pq
 
@@ -200,6 +211,18 @@ def conv_embeddings(spark, t, sf_dir: str):
         anchors = np.take_along_axis(
             base[doc % n_base], (idx + ((doc * 7 + rep * 11) % dim)[:, None]) % dim, 1
         )
+        # (doc, replica)-keyed Rademacher signs: splitmix64-style mix,
+        # bit j -> sign of component j (see docstring — this is what
+        # keeps replicas mutually near-orthogonal at ANY replica count)
+        h = (
+            doc.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + rep.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+        )
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        bits = (h[:, None] >> (np.arange(dim)[None, :] % 64).astype(np.uint64)) & np.uint64(1)
+        anchors = anchors * (1.0 - 2.0 * bits.astype(np.float64))
         pert = np.take_along_axis(
             base[(doc * 13 + 5) % n_base],
             (idx + ((var * 17 + rep * 3) % dim)[:, None]) % dim,

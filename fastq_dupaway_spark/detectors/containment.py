@@ -120,20 +120,31 @@ def _salted_blocks_and_probes(
     (key, salt).
 
     NEEDLE-SET PUSHDOWN: the block table is first semi-joined against
-    the distinct needle keys, INSIDE the narrow block-generation stage
-    (AQE turns the semi-join into a broadcast/runtime filter when the
-    needle side is small — one row per needle conversation, always tiny
-    next to the block fan-out). Blocks whose key no needle carries can
-    never produce a candidate, so pruning them BEFORE the checkpoint /
-    sizing / exchange removes ~all of the gram index's O(total_chars)
-    rows and most of the suffix blocks' |turns|*PREFIX_LEN rows from
-    every downstream shuffle. This was the round-3 bench finding: the
-    unpruned char-containment gram exchange multiplied suite time ~10x.
-    Bucket sizes (and therefore salts + the hot surface used for probe
-    replication) are computed on the PRUNED table — i.e. on the rows
-    that can actually join, which is the fan-out that matters."""
+    the distinct needle keys, INSIDE the narrow block-generation stage,
+    with an EXPLICIT broadcast hint on the needle side. The hint is
+    load-bearing: the needle key set is one 8-byte hash per conversation
+    (tiny next to the block fan-out), but at ~400k conversations its
+    size ESTIMATE crosses the default autoBroadcastJoinThreshold and
+    Catalyst silently flips the semi-join to a SortMergeJoin whose first
+    move is a full hash Exchange of the O(|turns| x PREFIX_LEN) /
+    O(total_chars / stride) block table — the kernel-bound shuffle the
+    pushdown exists to avoid (measured at x48 bench scale: the
+    containment rows stopped scaling with cores entirely, T_8 ~= T_2,
+    because the exchange dominates both). Blocks whose key no needle
+    carries can never produce a candidate, so pruning them BEFORE the
+    checkpoint / sizing / exchange removes ~all of the gram index's
+    rows and most of the suffix blocks' rows from every downstream
+    shuffle (round-3 finding: the unpruned gram exchange multiplied
+    suite time ~10x). Bucket sizes (and therefore salts + the hot
+    surface used for probe replication) are computed on the PRUNED
+    table — the rows that can actually join.
+
+    100 TB envelope: broadcasting one distinct hash per conversation is
+    fine up to ~10^8 conversations (~1-2 GB on executors); beyond that,
+    drop the hint and accept the co-partitioned shuffle semi-join (or
+    substitute a runtime bloom filter) — the knob is this one line."""
     blocks = blocks.join(
-        needles.select(key).distinct(), key, "left_semi"
+        F.broadcast(needles.select(key).distinct()), key, "left_semi"
     ).localCheckpoint()
     hot = hot_buckets(blocks, [key], max_bucket)
     dim = hot.select(
@@ -219,7 +230,9 @@ def containment_hot_buckets(
     sees — that is the fan-out that matters). ph is a hash; joining back
     to _suffixes recovers the offending prefixes if needed."""
     blocks = _suffix_blocks(_suffixes(conv_texts, all_boundaries=True)).join(
-        _needles(conv_texts).select("ph").distinct(), "ph", "left_semi"
+        F.broadcast(_needles(conv_texts).select("ph").distinct()),
+        "ph",
+        "left_semi",
     )
     return hot_buckets(blocks, ["ph"], max_bucket)
 

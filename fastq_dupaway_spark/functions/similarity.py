@@ -25,6 +25,27 @@ def _norm(col: str) -> str:
     return f"sqrt({_DOT.format(a=col, b=col)})"
 
 
+@F.pandas_udf(T.DoubleType())  # DataType object: no DDL parse at import
+def pairwise_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Vectorized exact cosine per row: three einsums over the stacked
+    (batch, dim) matrices. This is the HOT verify kernel: the SQL
+    `aggregate(zip_with(...))` form (_DOT) runs on Catalyst's INTERPRETED
+    higher-order-function path — measured ~1 ms per 64-d candidate pair,
+    which dominated the semantic detector at bench x48 scale (1.9M
+    candidates). The Arrow kernel is ~3 x 64 fused multiply-adds per
+    row. Zero-norm vectors yield NaN -> Spark NULL (never >= threshold),
+    matching the SQL try_divide semantics; rounding happens in SQL after,
+    so engine-comparison behavior is unchanged."""
+    a = np.stack(va.to_numpy())
+    b = np.stack(vb.to_numpy())
+    dots = np.einsum("ij,ij->i", a, b)
+    na = np.einsum("ij,ij->i", a, a)
+    nb = np.einsum("ij,ij->i", b, b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = dots / np.sqrt(na * nb)
+    return pd.Series(out)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -60,6 +60,13 @@ def get_spark(
         # spark.sql.shuffle.partitions instead.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # dimension/key-set sides in this pipeline (needle-key sets, salt
+        # dims, top-k weight tables) are worth broadcasting well past the
+        # 10 MB default — on executors sized for 100 TB inputs a 64 MB
+        # broadcast is routine, and losing a broadcast here silently
+        # degrades a semi-join prune into a full-table exchange (measured
+        # at x48 bench scale on the containment block tables)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

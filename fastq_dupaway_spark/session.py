@@ -60,13 +60,15 @@ def get_spark(
         # spark.sql.shuffle.partitions instead.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # dimension/key-set sides in this pipeline (needle-key sets, salt
-        # dims, top-k weight tables) are worth broadcasting well past the
-        # 10 MB default — on executors sized for 100 TB inputs a 64 MB
-        # broadcast is routine, and losing a broadcast here silently
-        # degrades a semi-join prune into a full-table exchange (measured
-        # at x48 bench scale on the containment block tables)
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # broadcast threshold stays at the 10 MB default: the sides this
+        # pipeline NEEDS broadcast (needle-key sets, salt dims, top-k
+        # weight tables) carry explicit F.broadcast hints at the join
+        # sites — hints scale with intent, not with size estimates. A
+        # global 64m bump was tried at x48 bench scale and made AQE
+        # broadcast mid-size salted-bucket tables (driver-built,
+        # single-threaded): the minhash row went 85s -> 272s at local[8]
+        # while the hinted joins gained nothing the hints didn't already
+        # provide.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -308,11 +308,21 @@ def main() -> None:
     found_pairs = {}  # detector pair DataFrames kept persisted for recall
 
     #: rows whose dropped localCheckpoint blocks are big enough to
-    #: pressure later rows (measured: minhash 29->58s when char/semantic
-    #: blocks lingered). A full System.gc() costs ~1-1.5 s of pure
-    #: driver-serial time, so it runs ONLY after these — after every row
-    #: it alone ate ~10 s of the suite's scaling-efficiency margin.
-    GC_AFTER = {"char_containment_pairs", "semantic_pairs", "minhash_lsh_cc"}
+    #: pressure later rows. Round 3 limited this to the three heaviest
+    #: rows (a full System.gc() costs ~1-1.5 s driver-serial); at x48
+    #: bench scale that was false economy — blocks left by the
+    #: hamming/simhash rows inflated the containment rows ~3x in-suite
+    #: vs standalone (measured 68.5 vs 22.6 s and 121 vs 41 s at
+    #: local[8] x48), swamping the ~1.5 s a collection costs. GC now
+    #: runs after every heavy row; only the cheap bookend rows skip it.
+    GC_AFTER = {
+        "hamming_pairs_exact",
+        "simhash_pairs",
+        "containment_pairs",
+        "char_containment_pairs",
+        "semantic_pairs",
+        "minhash_lsh_cc",
+    }
 
     def run(name: str, fn) -> None:
         t0 = time.monotonic()

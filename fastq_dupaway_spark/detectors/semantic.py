@@ -111,10 +111,13 @@ def verify_cosine_pairs(
     id_col: str = "conv_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(conv_a, conv_b, cos) with exact cosine >= threshold, JVM-side.
+    """(conv_a, conv_b, cos) with exact cosine >= threshold.
 
-    cos is rounded (like cosine_topk) so values are stable across engines
-    and float-summation orders. Embeddings join back by id — the candidate
+    The exact cosine runs in a vectorized Arrow/pandas-UDF einsum kernel
+    (similarity.pairwise_cosine) — batched numpy over Arrow columns, not
+    per-row Python and not the interpreted SQL HOF path. cos is rounded
+    (like cosine_topk) so values are stable across engines and
+    float-summation orders. Embeddings join back by id — the candidate
     join itself never shuffles vector payloads.
     """
     a = embeddings.select(

@@ -1,10 +1,12 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k as the exact baseline (JVM-side zip_with dot
-products — no Python in the scoring loop) and an LSH-bucketed variant as
-the scale path: random-hyperplane signatures shrink the candidate set from
-N to a bucket, the exact kernel then scores only candidates. At 100 TB the
-broadcast side is the (small) query set; the corpus is scanned once.
+Brute-force cosine top-k as the exact baseline (SQL zip_with dot products
+for the small broadcast-join top-k paths; a vectorized Arrow/pandas-UDF
+einsum kernel, `pairwise_cosine`, for the high-volume candidate-verify
+path) and an LSH-bucketed variant as the scale path: random-hyperplane
+signatures shrink the candidate set from N to a bucket, the exact kernel
+then scores only candidates. At 100 TB the broadcast side is the (small)
+query set; the corpus is scanned once.
 """
 
 from __future__ import annotations
@@ -35,14 +37,37 @@ def pairwise_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
     candidates). The Arrow kernel is ~3 x 64 fused multiply-adds per
     row. Zero-norm vectors yield NaN -> Spark NULL (never >= threshold),
     matching the SQL try_divide semantics; rounding happens in SQL after,
-    so engine-comparison behavior is unchanged."""
-    a = np.stack(va.to_numpy())
-    b = np.stack(vb.to_numpy())
-    dots = np.einsum("ij,ij->i", a, b)
-    na = np.einsum("ij,ij->i", a, a)
-    nb = np.einsum("ij,ij->i", b, b)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        out = dots / np.sqrt(na * nb)
+    so engine-comparison behavior is unchanged.
+
+    Contract hardening (round-5 ADVICE): NULL or dim-mismatched vectors on
+    either side score NULL for that row (the old SQL path's behavior)
+    instead of crashing np.stack with a ragged-array ValueError; and the
+    stacked matrices are upcast to float64 so external array<float>
+    embeddings accumulate dots/norms in double precision — the 4-digit
+    rounding downstream then matches the double-precision SQL baseline at
+    threshold boundaries."""
+    arr_a = va.to_numpy()
+    arr_b = vb.to_numpy()
+    n = len(arr_a)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=np.float64))
+    dims = [
+        (len(x) if x is not None else -1, len(y) if y is not None else -1)
+        for x, y in zip(arr_a, arr_b)
+    ]
+    # the modal positive dim defines the batch shape; anything else -> NaN
+    pos = [d for ab in dims for d in ab if d > 0]
+    dim = max(set(pos), key=pos.count) if pos else 0
+    ok = np.array([da == dim and db == dim for da, db in dims], dtype=bool)
+    out = np.full(n, np.nan, dtype=np.float64)
+    if dim > 0 and ok.any():
+        a = np.stack(arr_a[ok]).astype(np.float64, copy=False)
+        b = np.stack(arr_b[ok]).astype(np.float64, copy=False)
+        dots = np.einsum("ij,ij->i", a, b)
+        na = np.einsum("ij,ij->i", a, a)
+        nb = np.einsum("ij,ij->i", b, b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[ok] = dots / np.sqrt(na * nb)
     return pd.Series(out)
 
 

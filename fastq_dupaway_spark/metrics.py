@@ -55,18 +55,40 @@ class PairScore:
 
 
 def score_pairs(got: DataFrame, expected: DataFrame) -> PairScore:
-    """Both inputs: (conv_a, conv_b) unordered pair sets."""
-    g = got.select(
-        F.least("conv_a", "conv_b").alias("conv_a"),
-        F.greatest("conv_a", "conv_b").alias("conv_b"),
-    ).distinct()
-    e = expected.select(
-        F.least("conv_a", "conv_b").alias("conv_a"),
-        F.greatest("conv_a", "conv_b").alias("conv_b"),
-    ).distinct()
-    n_got = g.count()
-    n_exp = e.count()
-    n_hit = g.join(e, ["conv_a", "conv_b"], "inner").count()
+    """Both inputs: (conv_a, conv_b) unordered pair sets.
+
+    One Spark action: full outer join on the normalized pair keys, then a
+    single aggregation counting got / expected / hit — instead of three
+    separate count jobs (each of which would rescan and re-shuffle both
+    inputs). Same shape as bench.py's one-action `_recall_counts`."""
+    g = (
+        got.select(
+            F.least("conv_a", "conv_b").alias("conv_a"),
+            F.greatest("conv_a", "conv_b").alias("conv_b"),
+        )
+        .distinct()
+        .withColumn("_g", F.lit(1))
+    )
+    e = (
+        expected.select(
+            F.least("conv_a", "conv_b").alias("conv_a"),
+            F.greatest("conv_a", "conv_b").alias("conv_b"),
+        )
+        .distinct()
+        .withColumn("_e", F.lit(1))
+    )
+    row = (
+        g.join(e, ["conv_a", "conv_b"], "full_outer")
+        .agg(
+            F.count("_g").alias("n_got"),
+            F.count("_e").alias("n_exp"),
+            F.count(F.when(F.col("_g").isNotNull() & F.col("_e").isNotNull(), 1)).alias(
+                "n_hit"
+            ),
+        )
+        .collect()[0]
+    )
+    n_got, n_exp, n_hit = row["n_got"], row["n_exp"], row["n_hit"]
     return PairScore(
         recall=n_hit / n_exp if n_exp else 1.0,
         precision=n_hit / n_got if n_got else 1.0,

@@ -337,3 +337,36 @@ def test_cluster_pairs_max_cluster_cap(spark):
     assert len(got) == 10 * 9 / 2
     members = {r["conv_a"] for r in got} | {r["conv_b"] for r in got}
     assert members == {f"g{i:03d}" for i in range(10)}  # deterministic sample
+
+
+def test_score_pairs_is_one_action(spark, monkeypatch):
+    """Round-5 verdict item 8: score_pairs folds its three counts into a
+    single full-outer-join aggregation — exactly one action (a collect of
+    the one-row agg), zero DataFrame.count calls. (A raw job-count probe
+    is unusable here: AQE legitimately splits the one collect into several
+    stage-materialization jobs.)"""
+    got = spark.createDataFrame(
+        [("a", "b"), ("c", "d"), ("x", "y")], "conv_a string, conv_b string"
+    )
+    # patch the concrete runtime class (pyspark 4 classic/connect subclass
+    # the public pyspark.sql.DataFrame and override its methods)
+    DataFrame = type(got)
+    want = spark.createDataFrame(
+        [("b", "a"), ("e", "f")], "conv_a string, conv_b string"
+    )
+    actions = {"collect": 0}
+    real_collect = DataFrame.collect
+
+    def counting_collect(self):
+        actions["collect"] += 1
+        return real_collect(self)
+
+    def no_count(self):
+        raise AssertionError("score_pairs must not issue count() actions")
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "count", no_count)
+    s = score_pairs(got, want)
+    assert actions["collect"] == 1
+    assert s.n_hit == 1 and s.n_got == 3 and s.n_expected == 2
+    assert s.recall == 0.5 and abs(s.precision - 1 / 3) < 1e-12

@@ -339,3 +339,63 @@ class TestExternalEncoderContract:
                 self._cfg(semantic_dim=16),  # vectors are dim 8
                 embeddings=self._embeddings(spark),
             ).clusters.collect()
+
+
+def test_verify_cosine_null_and_dim_mismatch_degrade_to_null(spark):
+    """Round-5 ADVICE: out-of-contract embeddings (NULL vector, wrong dim)
+    passed to the public verify_cosine_pairs API drop the pair (NULL cos,
+    never >= threshold) like the old SQL try_divide path — no executor
+    crash from np.stack on ragged arrays."""
+    from fastq_dupaway_spark.detectors.semantic import verify_cosine_pairs
+
+    good = [1.0] + [0.0] * (DIM - 1)
+    emb = spark.createDataFrame(
+        [
+            ("g1", good),
+            ("g2", good),
+            ("nul", None),
+            ("short", [1.0, 2.0]),
+            ("zero", [0.0] * DIM),
+        ],
+        "conv_id string, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [("g1", "g2"), ("g1", "nul"), ("g1", "short"), ("g1", "zero")],
+        "conv_a string, conv_b string",
+    )
+    rows = verify_cosine_pairs(emb, cands, threshold=0.5).collect()
+    assert {(r["conv_a"], r["conv_b"]) for r in rows} == {("g1", "g2")}
+    assert abs(rows[0]["cos"] - 1.0) < 1e-9
+
+
+def test_pairwise_cosine_accumulates_in_float64(spark):
+    """Round-5 ADVICE: float32 external embeddings are upcast before the
+    einsum so the 4-digit-rounded cosine matches the double-precision SQL
+    baseline at threshold boundaries. Construct a float32 pair whose
+    float32-accumulated cosine would round differently than float64."""
+    from fastq_dupaway_spark.detectors.semantic import verify_cosine_pairs
+
+    rng = np.random.RandomState(11)
+    dim = 512
+    a64 = rng.standard_normal(dim)
+    b64 = a64 + 0.03 * rng.standard_normal(dim)
+    a32 = a64.astype(np.float32)
+    b32 = b64.astype(np.float32)
+    want = round(
+        float(
+            np.dot(a32.astype(np.float64), b32.astype(np.float64))
+            / (
+                np.linalg.norm(a32.astype(np.float64))
+                * np.linalg.norm(b32.astype(np.float64))
+            )
+        ),
+        4,
+    )
+    emb = spark.createDataFrame(
+        [("a", [float(x) for x in a32]), ("b", [float(x) for x in b32])],
+        "conv_id string, embedding array<float>",
+    )
+    cands = spark.createDataFrame([("a", "b")], "conv_a string, conv_b string")
+    rows = verify_cosine_pairs(emb, cands, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["cos"] - want) < 1e-12

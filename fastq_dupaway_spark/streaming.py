@@ -87,36 +87,82 @@ def _bucket_update(max_state: int, timeout_minutes: int):
     arrive with an EMPTY batch iterator and state.hasTimedOut=True: the
     bucket's state must be REMOVED, not re-armed — calling update() +
     setTimeoutDuration() there would resurrect every idle bucket forever
-    and state would grow without bound."""
+    and state would grow without bound.
+
+    The kernel is fully vectorized (round-4 verdict item: this was the
+    last per-row Python loop on a throughput path). Sequential semantics
+    are preserved exactly: arrival i pairs against the state at batch
+    start PLUS the same-batch arrivals ADMITTED before it (first
+    occurrence, not already stored, under max_state) — expressed as two
+    numpy cross-products (repeat/tile vs stored members; a triangular
+    repeat/searchsorted expansion vs earlier admitted arrivals). Pair
+    volume is bounded by arrivals x max_state, the same bound the scalar
+    loop had."""
 
     def update(key, pdfs, state):
         if state.hasTimedOut:
             state.remove()
             return
         if state.exists:
-            seen: list[str] = list(state.get[0])
-            n_seen = int(state.get[1])
+            seen0: list[str] = list(state.get[0])
+            n_seen0 = int(state.get[1])
         else:
-            seen, n_seen = [], 0
-        pairs_a: list[str] = []
-        pairs_b: list[str] = []
-        pair_n: list[int] = []
-        for pdf in pdfs:
-            for cid in pdf["conv_id"]:
-                n_seen += 1
-                for other in seen:
-                    if other != cid:
-                        pairs_a.append(min(other, cid))
-                        pairs_b.append(max(other, cid))
-                        pair_n.append(n_seen)
-                if len(seen) < max_state and cid not in seen:
-                    seen.append(cid)
-        state.update((seen, n_seen))
+            seen0, n_seen0 = [], 0
+        chunks = [pdf["conv_id"].to_numpy(dtype=object) for pdf in pdfs]
+        cids = np.concatenate(chunks) if chunks else np.empty(0, dtype=object)
+        n = len(cids)
+        if n == 0:
+            state.update((seen0, n_seen0))
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            return
+        arrival_n = n_seen0 + 1 + np.arange(n, dtype=np.int64)
+        # admission: first in-batch occurrence, not already stored, and the
+        # running member count (len(seen0) + admitted-so-far) under cap
+        first = ~pd.Series(cids).duplicated().to_numpy()
+        in_seen0 = (
+            np.isin(cids, np.asarray(seen0, dtype=object))
+            if seen0
+            else np.zeros(n, dtype=bool)
+        )
+        new = first & ~in_seen0
+        admitted = new & (len(seen0) + np.cumsum(new) <= max_state)
+        adm_pos = np.nonzero(admitted)[0]
+
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        if seen0:  # every arrival x every member stored at batch start
+            s0 = np.asarray(seen0, dtype=object)
+            a = np.repeat(cids, len(s0))
+            b = np.tile(s0, n)
+            nn = np.repeat(arrival_n, len(s0))
+            m = a != b
+            out_a.append(a[m]); out_b.append(b[m]); out_n.append(nn[m])
+        if len(adm_pos):  # arrival i x admitted arrivals strictly before i
+            counts = np.searchsorted(adm_pos, np.arange(n), side="left")
+            total = int(counts.sum())
+            if total:
+                a = np.repeat(cids, counts)
+                starts = np.cumsum(counts) - counts
+                inner = np.arange(total) - np.repeat(starts, counts)
+                b = cids[adm_pos[inner]]
+                nn = np.repeat(arrival_n, counts)
+                m = a != b
+                out_a.append(a[m]); out_b.append(b[m]); out_n.append(nn[m])
+
+        state.update((seen0 + list(cids[adm_pos]), int(n_seen0 + n)))
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        if pairs_a:
-            yield pd.DataFrame(
-                {"conv_a": pairs_a, "conv_b": pairs_b, "bucket_n": pair_n}
-            )
+        if out_a:
+            a = np.concatenate(out_a)
+            if len(a):
+                b = np.concatenate(out_b)
+                yield pd.DataFrame(
+                    {
+                        "conv_a": np.minimum(a, b),
+                        "conv_b": np.maximum(a, b),
+                        "bucket_n": np.concatenate(out_n),
+                    }
+                )
 
     return update
 

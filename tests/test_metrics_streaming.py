@@ -370,3 +370,56 @@ def test_score_pairs_is_one_action(spark, monkeypatch):
     assert actions["collect"] == 1
     assert s.n_hit == 1 and s.n_got == 3 and s.n_expected == 2
     assert s.recall == 0.5 and abs(s.precision - 1 / 3) < 1e-12
+
+
+def test_bucket_update_vectorized_matches_scalar_reference():
+    """Differential: the vectorized _bucket_update kernel must reproduce
+    the scalar sequential semantics exactly — arrival i pairs against
+    stored state plus earlier-ADMITTED same-batch arrivals, duplicates
+    never pair with themselves, admission is first-occurrence under cap —
+    across random streams with duplicates, multi-chunk batches, and
+    resumed state."""
+    import random
+
+    import pandas as pd
+
+    from fastq_dupaway_spark.streaming import _bucket_update
+
+    def scalar(seen0, n_seen0, chunks, max_state):
+        seen, n_seen = list(seen0), n_seen0
+        rows = []
+        for chunk in chunks:
+            for cid in chunk:
+                n_seen += 1
+                for other in seen:
+                    if other != cid:
+                        rows.append((min(other, cid), max(other, cid), n_seen))
+                if len(seen) < max_state and cid not in seen:
+                    seen.append(cid)
+        return rows, (seen, n_seen)
+
+    rng = random.Random(7)
+    ids = [f"c{i}" for i in range(12)]
+    for trial in range(40):
+        max_state = rng.choice([1, 2, 3, 5, 8])
+        seen0 = rng.sample(ids, rng.randint(0, min(max_state, 4)))
+        n_seen0 = len(seen0) + rng.randint(0, 5)
+        n_chunks = rng.randint(0, 3)
+        chunks = [
+            [rng.choice(ids) for _ in range(rng.randint(0, 8))]
+            for _ in range(n_chunks)
+        ]
+        want_rows, want_state = scalar(seen0, n_seen0, chunks, max_state)
+
+        update = _bucket_update(max_state=max_state, timeout_minutes=1)
+        st = _FakeGroupState(exists=bool(seen0 or n_seen0), value=(seen0, n_seen0))
+        out = list(
+            update(("k",), iter([pd.DataFrame({"conv_id": c}) for c in chunks]), st)
+        )
+        got_rows = sorted(
+            (a, b, int(n))
+            for df in out
+            for a, b, n in zip(df["conv_a"], df["conv_b"], df["bucket_n"])
+        )
+        assert got_rows == sorted(want_rows), (trial, got_rows, want_rows)
+        assert st.updated == want_state, (trial, st.updated, want_state)

@@ -4,7 +4,14 @@
 Prints ONE JSON line:
   {"metric": "dedup_suite_total", "value": <sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>, "turns": N,
-   "turns_per_sec": N/total, "recall_planted": r, "cc_rounds": k}
+   "turns_per_sec": N/total, "recall_planted": r, "cc_rounds": k,
+   "probes": {...}, "probe_noise_ratio": r, "noise_window_suspected": b}
+
+The probe fields make the artifact noise-legible on this shared host
+(documented 2-4x JVM-slowdown windows): a fixed JVM probe job brackets
+every heavy row, so a reader can attribute a ballooned query time to a
+host window (probes balloon too) vs a code regression (probes flat)
+without re-running.
 
 The transcripts input is derived deterministically from documents.parquet
 (corpus.build_transcripts) and replicated BENCH_REPLICAS times (default 8)
@@ -76,6 +83,27 @@ HOT_TEXT = (
 #: bench detectors run with this max_bucket so the ~200-conv hot cluster
 #: overflows it and exercises the salted sub-bucket path at every site
 MAX_BUCKET = 100
+
+#: noise-probe work size: a fixed JVM-side job (xxhash64 over stringified
+#: ids) timed before the suite, after every heavy row, and at the end.
+#: This host has documented multi-minute 2-4x slowdown windows that hit
+#: JVM workloads specifically (python/numpy probes do NOT see them), so
+#: the probe must be a Spark job. The probe rows make the artifact
+#: NOISE-LEGIBLE: a reader compares probes around a ballooned query row —
+#: if the probes balloon too, it was a window, not a regression (the
+#: round-4 BENCH artifact was silently corrupted exactly this way).
+PROBE_ROWS = 48_000_000
+
+
+def _probe(spark, cpus: int) -> float:
+    """Seconds for the fixed probe job (work constant across parallelism
+    levels; compare per-run via probe_noise_ratio, across runs via
+    probe_rows_per_core_per_sec)."""
+    t0 = time.monotonic()
+    spark.range(0, PROBE_ROWS, 1, cpus).select(
+        F.max(F.xxhash64(F.col("id").cast("string")))  # max: no ANSI overflow
+    ).collect()
+    return round(time.monotonic() - t0, 3)
 
 
 def _is_hot(col):
@@ -305,6 +333,8 @@ def main() -> None:
     minhash_signatures(shingle_hashes(t.limit(512), 3), k=8).count()
 
     timings: dict[str, float] = {}
+    probes: dict[str, float] = {}  # noise probes bracketing the heavy rows
+    probes["before_suite"] = _probe(spark, cpus)
     found_pairs = {}  # detector pair DataFrames kept persisted for recall
 
     #: rows whose dropped localCheckpoint blocks are big enough to
@@ -337,6 +367,9 @@ def main() -> None:
 
             gc.collect()
             spark.sparkContext._jvm.System.gc()
+            # probe OUTSIDE the timed row (and after the GC), so each
+            # heavy timing is bracketed by probe readings
+            probes[f"after_{name}"] = _probe(spark, cpus)
 
     def exact_dedup():
         ec = exact.exact_clusters(t).persist()
@@ -493,7 +526,11 @@ def main() -> None:
         )
 
     run("recall_planted", recall_planted)
+    probes["after_suite"] = _probe(spark, cpus)
 
+    probe_vals = list(probes.values())
+    probe_min, probe_max = min(probe_vals), max(probe_vals)
+    noise_ratio = round(probe_max / max(probe_min, 1e-9), 2)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -517,6 +554,18 @@ def main() -> None:
                 "recall_semantic": sem_holder.get("recall_semantic"),
                 "semantic_pairs_expected": sem_holder.get("semantic_pairs_expected"),
                 "cc_rounds": cc_stats.get("cc_rounds"),
+                # ---- noise legibility (see PROBE_ROWS comment) ----
+                # probes bracket every heavy row: if a query row balloons
+                # while its surrounding probes stay flat, it's a code
+                # regression; if the probes balloon with it, the host's
+                # documented 2-4x JVM-slowdown window opened mid-suite.
+                "probes": probes,
+                "probe_rows": PROBE_ROWS,
+                "probe_noise_ratio": noise_ratio,
+                "noise_window_suspected": noise_ratio >= 2.0,
+                "probe_rows_per_core_per_sec": round(
+                    PROBE_ROWS / (probe_min * cpus), 1
+                ),
             }
         )
     )

@@ -68,6 +68,13 @@ def main() -> None:
                 "t_n_sec": r_low["value"],
                 "t_4n_sec": r_high["value"],
                 "efficiency": rep_eff,
+                # per-leg noise legibility (bench.py probe brackets)
+                "noise_ratio_n": r_low.get("probe_noise_ratio"),
+                "noise_ratio_4n": r_high.get("probe_noise_ratio"),
+                "noise_suspected": bool(
+                    r_low.get("noise_window_suspected")
+                    or r_high.get("noise_window_suspected")
+                ),
             }
         )
         print(
@@ -107,6 +114,8 @@ def main() -> None:
         ).stdout.strip(),
         "queries_n": low["queries"],
         "queries_4n": high["queries"],
+        "probes_n": low.get("probes"),
+        "probes_4n": high.get("probes"),
     }
     print(json.dumps(result))
 

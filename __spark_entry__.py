@@ -283,6 +283,30 @@ def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_token_stats_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-RUN tokenizer variant (round-5 verdict item 7) on a
+    deliberately MESSY derivation of the corpus — every space doubled to
+    ' \\t' plus leading/trailing whitespace — so the run-splitting and
+    empty-edge-token semantics are actually exercised (the synthetic
+    corpus is single-spaced; on it the plain split would be identical).
+    Oracle: DuckDB regexp_split_to_array over the same explicit class."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    messy = F.concat(
+        F.lit("  "),
+        F.regexp_replace("text", " ", " \t"),
+        F.lit("\n"),
+    )
+    toks = TX.tokens_ws(messy)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens_ws"),
+        F.array_max(F.transform(toks, F.length)).alias("max_token_len_ws"),
+        # single-spaced corpus: run-splitting the messy text must recover
+        # the original token count — cross-checked in-row by the oracle
+        (F.size(toks) - TX.token_count(F.col("text"))).alias("ws_vs_space"),
+    ).orderBy("doc_id")
+
+
 def _q_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex pre-tokenization counts (alpha runs / digit runs /
     single marks — same pattern semantics in Java regex and RE2)."""
@@ -354,10 +378,27 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(ct, bit_threshold=3).orderBy("conv_a", "conv_b")
 
 
+def _q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs under the DuckDB-portable md5_60 token hash: the
+    IDENTICAL banding/verify plan as simhash_pairs, hash swapped for
+    ('0x'||substr(md5(tok),1,15))::BIGINT so the entire pipeline — token
+    split, bit-plane majority votes, pigeonhole banding, bit_count verify
+    — is provable against a brute-force SQL oracle (round-4 verdict
+    Missing #3). Production keeps xxhash64 (JVM, full 64-bit)."""
+    from fastq_dupaway_spark.detectors.simhash import simhash_pairs
+
+    t = build_transcripts(spark, sf_dir)
+    ct = conversation_texts(t)
+    return simhash_pairs(ct, bit_threshold=3, token_hasher="md5_60").orderBy(
+        "conv_a", "conv_b"
+    )
+
+
 def _q_hamming_parity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference run-semantics Hamming scan (stateful sorted-adjacency —
-    not single-statement SQL; rows-only check, parity is pytest-scored
-    against the reference oracle)."""
+    """Reference run-semantics Hamming scan (stateful sorted-adjacency).
+    Oracle: a DuckDB recursive CTE replaying the last-kept-reference run
+    scan over the sorted composite keys (round-5 verdict item 3); also
+    pytest-scored against the pure-Python reference oracle."""
     t = build_transcripts(spark, sf_dir)
     ct = conversation_texts(t)
     return parity_clusters(ct, "hamming", d=2, num_partitions=8).orderBy(
@@ -385,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "char_containment_pairs": _q_char_containment_pairs,
         "token_stats": _q_token_stats,
+        "token_stats_ws": _q_token_stats_ws,
         "subword_stats": _q_subword_stats,
         "quality": _q_quality,
         "lang_guess": _q_lang_guess,
@@ -394,7 +436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "nation_order_volume": _q_nation_order_volume,
         "user_event_seq": _q_user_event_seq,
-        # rows-only checks (no oracle entry):
+        "simhash_pairs_md5": _q_simhash_pairs_md5,
+        # rows-only check (no oracle entry — engine-hash-dependent
+        # signatures; the md5_60 variant above oracles the same plan):
         "simhash_pairs": _q_simhash_pairs,
         "hamming_parity_clusters": _q_hamming_parity_clusters,
     }
@@ -405,6 +449,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _T = TRANSCRIPTS_DUCKDB_SQL  # WITH ... transcripts AS (...)
+
+#: hamming run-scan dup predicate (cur row `o` vs kept reference in `s`):
+#: same turn count AND every aligned turn equal-length with hamming <= 2 —
+#: conv_dup(..., 'hamming') re-expressed over the chr(31) composite keys.
+_HAMMING_RUN_DUP = """
+(
+  len(str_split(o.k, chr(31))) = len(str_split(s.rep_k, chr(31)))
+  AND list_aggregate(
+        list_apply(
+          list_zip(str_split(o.k, chr(31)), str_split(s.rep_k, chr(31))),
+          p -> CASE WHEN length(p[1]) = length(p[2])
+                     AND hamming(p[1], p[2]) <= 2
+               THEN 1 ELSE 0 END),
+        'min') = 1
+)
+"""
+
+#: 60-bit SimHash from per-token hashes `h` grouped by conv_id: per bit a
+#: strict-majority vote over the token multiset (2*ones > n), matching the
+#: Arrow kernel's `(2*sums - ne_lens) > 0`. Bits 60-63 are vote-zero under
+#: the md5_60 hash, identically in both engines.
+_SIMHASH_VOTE_SQL = " + ".join(
+    f"CASE WHEN 2 * sum((h >> {b}) & 1) > count(*) THEN {1 << b} ELSE 0 END"
+    for b in range(60)
+)
 
 _KEYS = """
 , keys AS (
@@ -735,6 +804,26 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_token_len
             FROM documents ORDER BY doc_id
         """,
+        "token_stats_ws": """
+            WITH m AS (
+                SELECT doc_id, text,
+                       '  ' || replace(text, ' ', ' ' || chr(9)) || chr(10)
+                           AS messy
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, text,
+                       list_filter(
+                           regexp_split_to_array(messy, '[ \t\r\n\f]+'),
+                           x -> x != '') AS toks
+                FROM m
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens_ws,
+                   list_aggregate(list_transform(toks, x -> length(x)), 'max')
+                       AS max_token_len_ws,
+                   len(toks) - len(string_split(text, ' ')) AS ws_vs_space
+            FROM tk ORDER BY doc_id
+        """,
         "subword_stats": """
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
@@ -816,5 +905,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT conv_a, conv_b, cos FROM pairs
             WHERE cos >= 0.9 ORDER BY conv_a, conv_b
+        """,
+        # Brute-force oracle for the md5_60 SimHash pipeline: same token
+        # split ('' -> ['']; NULL text coalesced), same portable hash,
+        # same strict-majority votes, then ALL pairs at bit distance <= 3
+        # (839 convs at sf0.01 -> trivially exhaustive; the Spark side's
+        # pigeonhole banding is recall-1.0 for this relation, so the two
+        # row sets must be identical).
+        "simhash_pairs_md5": _T + f"""
+            , toks AS (
+                SELECT conv_id,
+                       ('0x' || substr(md5(tok.t), 1, 15))::BIGINT AS h
+                FROM transcripts,
+                     unnest(str_split(coalesce(text, ''), ' ')) AS tok(t)
+            ),
+            sims AS (
+                SELECT conv_id, {_SIMHASH_VOTE_SQL} AS simhash
+                FROM toks GROUP BY conv_id
+            )
+            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b
+            FROM sims a JOIN sims b ON a.conv_id < b.conv_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY conv_a, conv_b
+        """,
+        # Reference run-semantics Hamming scan (last-kept-reference,
+        # non-transitive — oracle.seq_dedup / src/seq_dup_remover.hpp:54-109)
+        # as a sequential recursive CTE over the sorted composite keys.
+        # `ordered` must be MATERIALIZED: DuckDB otherwise inlines (and
+        # re-executes) the whole transcripts derivation on every one of the
+        # |convs| recursion steps (measured 16x slower).
+        "hamming_parity_clusters": _T.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f"""
+            , ct AS (
+                SELECT conv_id, string_agg(text, chr(31) ORDER BY turn_idx) AS k
+                FROM transcripts GROUP BY conv_id
+            ),
+            ordered AS MATERIALIZED (
+                SELECT conv_id, k, row_number() OVER (ORDER BY k, conv_id) AS rn
+                FROM ct
+            ),
+            scan AS (
+                SELECT rn, conv_id, k AS rep_k, conv_id AS rep_conv_id
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.conv_id,
+                       CASE WHEN {_HAMMING_RUN_DUP} THEN s.rep_k ELSE o.k END,
+                       CASE WHEN {_HAMMING_RUN_DUP} THEN s.rep_conv_id
+                            ELSE o.conv_id END
+                FROM scan s JOIN ordered o ON o.rn = s.rn + 1
+            )
+            SELECT conv_id, rep_conv_id FROM scan ORDER BY conv_id
         """,
     }

@@ -40,7 +40,28 @@ from .buckets import hot_buckets, salted_self_pairs
 SIMHASH_BITS = 64
 
 
-def conversation_simhashes(conv_texts: DataFrame) -> DataFrame:
+def _token_hash_expr(hasher: str):
+    """Column-level token hash factory.
+
+    'xxhash64' (production): JVM xxhash64, full 64-bit range, fastest.
+    'md5_60' (oracle mode): first 15 md5 hex chars as a 60-bit integer —
+    bit-identical to DuckDB's ``('0x'||substr(md5(tok),1,15))::BIGINT``,
+    so the WHOLE simhash pipeline (token split, bit-plane votes, banding,
+    bit_count verify) is provable against a SQL oracle end-to-end. Bits
+    60-63 are vote-zero in this mode; the pigeonhole banding argument is
+    unchanged (band 3 simply has 4 constant bits)."""
+    if hasher == "xxhash64":
+        return lambda tok: F.xxhash64(tok)
+    if hasher == "md5_60":
+        return lambda tok: F.conv(
+            F.substring(F.md5(tok), 1, 15), 16, 10
+        ).cast(T.LongType())
+    raise ValueError(f"unknown token hasher {hasher!r}; xxhash64|md5_60")
+
+
+def conversation_simhashes(
+    conv_texts: DataFrame, token_hasher: str = "xxhash64"
+) -> DataFrame:
     """(conv_id, simhash): 64-bit SimHash over the conversation's token
     multiset.
 
@@ -53,8 +74,10 @@ def conversation_simhashes(conv_texts: DataFrame) -> DataFrame:
     slower). The 64 bit-plane vote aggregation is a vectorized Arrow
     kernel over the hash arrays (np.add.reduceat per bit over one flat
     int64 array); the Arrow transfer carries 8-byte hashes, never token
-    strings.
+    strings. token_hasher: see _token_hash_expr (md5_60 is the
+    DuckDB-provable oracle mode).
     """
+    hash_fn = _token_hash_expr(token_hasher)
     hashed = conv_texts.select(
         "conv_id",
         F.flatten(
@@ -62,7 +85,7 @@ def conversation_simhashes(conv_texts: DataFrame) -> DataFrame:
                 "texts",
                 lambda t: F.transform(
                     F.split(F.coalesce(t, F.lit("")), " "),
-                    lambda tok: F.xxhash64(tok),
+                    hash_fn,
                 ),
             )
         ).alias("hs"),
@@ -294,14 +317,17 @@ def simhash_pairs(
     conv_texts: DataFrame,
     bit_threshold: int = 3,
     max_bucket: int = 512,
+    token_hasher: str = "xxhash64",
 ) -> DataFrame:
     """(conv_a, conv_b) with simhash bit distance <= bit_threshold.
     Pigeonhole banding + exact bit_count verify, both deterministic:
     recall 1.0 for the bit-distance relation except inside hot buckets
     (> max_bucket members), where pair coverage is sub-bucket-local and
     cluster recovery relies on the bands' orthogonal salt cuts + CC
-    (buckets.py); hot keys are always surfaced, never silently lost."""
-    sims = conversation_simhashes(conv_texts)
+    (buckets.py); hot keys are always surfaced, never silently lost.
+    token_hasher='md5_60' runs the identical plan over the
+    DuckDB-portable hash so the result is SQL-oracle-checkable."""
+    sims = conversation_simhashes(conv_texts, token_hasher)
     cands = candidate_pairs(sims, bit_threshold, max_bucket)
     return (
         cands.where(

@@ -27,6 +27,27 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+#: whitespace-RUN tokenizer class — EXPLICIT [ \t\r\n\f]+ rather than \s:
+#: Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte on this ASCII
+#: class but diverge on \s flag/Unicode extensions ((?U) is Java-only),
+#: so the explicit class is what keeps the variant oracle-provable.
+WS_RUN_RE = "[ \\t\\r\\n\\f]+"
+
+
+def tokens_ws(text: Column) -> Column:
+    """Whitespace-RUN tokens for real-world corpora (round-5 verdict item
+    7): splits on runs of spaces/tabs/newlines and drops the empty edge
+    tokens that leading/trailing whitespace yields in both engines. The
+    single-space `tokens` remains the default (documented oracle
+    constraint for the synthetic single-spaced corpora); this is the
+    variant to feed the shingle/simhash/quality stack on scraped text."""
+    return F.filter(F.split(text, WS_RUN_RE), lambda t: t != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens_ws(text))
+
+
 def avg_token_len(text: Column) -> Column:
     """Average token length, rounded for cross-engine float stability."""
     return F.round(

@@ -80,3 +80,27 @@ def test_feature_extraction_is_narrow(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_tokens_ws_whitespace_runs(spark):
+    """tokens_ws (round-5 verdict item 7): runs of space/tab/CR/LF/FF are
+    ONE separator, leading/trailing whitespace yields no empty tokens,
+    and on single-spaced text it degrades to the plain space split —
+    matching Python's str.split() (the real-world-tokenizer contract)."""
+    cases = [
+        "plain single spaced",
+        "  leading and trailing  ",
+        "tabs\tand\t\tnewlines\nmixed \t\r\n runs\f here",
+        "",
+        "   ",
+        "one",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["text"]).select(
+        "text",
+        TX.tokens_ws(F.col("text")).alias("ws"),
+        TX.token_count_ws(F.col("text")).alias("n"),
+    )
+    got = {r["text"]: (list(r["ws"]), r["n"]) for r in df.collect()}
+    for c in cases:
+        want = c.split()  # Python no-arg split == whitespace-run semantics
+        assert got[c] == (want, len(want)), (c, got[c], want)

@@ -287,3 +287,62 @@ def test_weighted_simhash_sampled_idf_preserves_separation(spark):
         bin((s_f[c] ^ s_s[c]) & ((1 << 64) - 1)).count("1") for c in s_f
     ]
     assert max(drift) <= 24, max(drift)
+
+
+def test_md5_60_token_hash_is_portable(spark):
+    """The md5_60 oracle-mode token hash must equal Python's
+    int(md5(tok)[:15], 16) — the same value DuckDB computes as
+    ('0x'||substr(md5(tok),1,15))::BIGINT — for ASCII, unicode, and the
+    empty token (split('') -> ['']). This is the parity the
+    simhash_pairs_md5 end-to-end oracle rests on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from fastq_dupaway_spark.detectors.simhash import _token_hash_expr
+
+    toks = ["hello", "", "a b", "naïve", "日本語", "x" * 200]
+    df = spark.createDataFrame([(t,) for t in toks], ["tok"]).select(
+        "tok", _token_hash_expr("md5_60")(F.col("tok")).alias("h")
+    )
+    got = {r["tok"]: r["h"] for r in df.collect()}
+    for t in toks:
+        want = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[t] == want, (t, got[t], want)
+        assert 0 <= got[t] < 1 << 60
+
+
+def test_simhash_md5_mode_matches_brute_force(spark, gen_corpus):
+    """simhash_pairs(token_hasher='md5_60') == brute-force bit-distance
+    relation over Python-computed md5_60 simhashes (banding + verify are
+    hash-agnostic; this locks the oracle-mode plan end-to-end)."""
+    import hashlib
+
+    from fastq_dupaway_spark.detectors.simhash import simhash_pairs
+
+    t = corpus.conv_df(spark, gen_corpus)
+    ct = conversation_texts(t)
+    k = 3
+    got = _spark_pairs(simhash_pairs(ct, bit_threshold=k, token_hasher="md5_60"))
+
+    def sim(turns: list[str]) -> int:
+        hs = [
+            int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for text in turns
+            for tok in (text or "").split(" ")
+        ]
+        out = 0
+        for b in range(60):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                out |= 1 << b
+        return out
+
+    sims = {cid: sim(turns) for cid, turns in gen_corpus}
+    want = {
+        tuple(sorted((a, b)))
+        for a, b in combinations(sims, 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= k
+    }
+    assert got == want
+    assert len(want) > 0

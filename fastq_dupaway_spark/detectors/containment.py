@@ -389,11 +389,42 @@ def _tail_path_pairs(
     )
 
 
+def _gram_index(conv_texts: DataFrame, stride: int) -> DataFrame:
+    """(container_id, turn_k, gh): the strided rolling GRAM_LEN-gram
+    position index over container turns — id-only rows at container
+    offsets o ≡ 1 (mod stride), O(total_chars / stride) of them. Split
+    out so the sampled-mode cost test can count index rows directly."""
+    turns = conv_texts.select(
+        F.col("conv_id").alias("container_id"),
+        F.posexplode("texts").alias("tk0", "turn"),
+    ).where(F.length("turn") >= GRAM_LEN)
+    return (
+        turns.select(
+            "container_id",
+            (F.col("tk0") + 1).alias("turn_k"),
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.length("turn") - (GRAM_LEN - 1),
+                        F.lit(stride),
+                    ),
+                    lambda o: F.xxhash64(F.substring("turn", o, F.lit(GRAM_LEN))),
+                )
+            ).alias("gh"),
+        )
+        .distinct()  # one candidate per (container, turn, gram value)
+    )
+
+
 def _gram_path_pairs(
-    conv_texts: DataFrame, max_bucket: int, stride: int = GRAM_STRIDE
+    conv_texts: DataFrame,
+    max_bucket: int,
+    stride: int = GRAM_STRIDE,
+    sampled: bool = False,
 ) -> DataFrame:
     """Mid-turn occurrences of SINGLE-turn needles with
-    len >= GRAM_LEN + stride - 1.
+    len >= GRAM_LEN + stride - 1 (exact mode) / len >= GRAM_LEN (sampled).
 
     A needle without the separator lies inside exactly one turn of the
     container, so a rolling GRAM_LEN-gram position index over turn bytes
@@ -416,8 +447,27 @@ def _gram_path_pairs(
     needles SHORTER than GRAM_LEN + stride - 1 are served exactly by the
     vectorized multi-needle scan (_short_needle_pairs) — the round-2
     boundary-only carve-out no longer exists on any path.
+
+    SAMPLED (recall < 1, extreme tier): `sampled=True` admits every
+    needle of len >= GRAM_LEN and emits only the grams the needle
+    actually has — offsets 1..min(stride, len - GRAM_LEN + 1). Needles
+    of len >= GRAM_LEN + stride - 1 still cover every offset residue
+    (exact, by the proof above); a shorter needle covers
+    (len - GRAM_LEN + 1) of the stride residues, so each occurrence is
+    found with alignment coverage (len - GRAM_LEN + 1) / stride — the
+    DOCUMENTED per-needle recall bound (precision stays 1.0: the verify
+    is an exact locate()). The point of the knob: stride can be raised
+    far past the exact tier's scan ceiling (the multi-needle scan then
+    only serves len < GRAM_LEN, a fixed <= 15 Horner passes) so the
+    index shrinks by ~stride without the scan absorbing the mid-length
+    class — char containment at a fraction of the O(total_chars) cost.
     """
-    min_len = GRAM_LEN + stride - 1
+    min_len = GRAM_LEN if sampled else GRAM_LEN + stride - 1
+    last_probe = (
+        F.least(F.lit(stride), F.length("full") - (GRAM_LEN - 1))
+        if sampled
+        else F.lit(stride)
+    )
     needles = (
         conv_texts.where(F.size("texts") == 1)
         .select("conv_id", F.element_at("texts", 1).alias("full"))
@@ -427,7 +477,7 @@ def _gram_path_pairs(
             F.explode(
                 F.array_distinct(
                     F.transform(
-                        F.sequence(F.lit(1), F.lit(stride)),
+                        F.sequence(F.lit(1), last_probe),
                         lambda j: F.xxhash64(
                             F.substring("full", j, F.lit(GRAM_LEN))
                         ),
@@ -436,27 +486,7 @@ def _gram_path_pairs(
             ).alias("gh"),
         )
     )
-    turns = conv_texts.select(
-        F.col("conv_id").alias("container_id"),
-        F.posexplode("texts").alias("tk0", "turn"),
-    ).where(F.length("turn") >= GRAM_LEN)
-    grams = (
-        turns.select(
-            "container_id",
-            (F.col("tk0") + 1).alias("turn_k"),
-            F.explode(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.length("turn") - (GRAM_LEN - 1),
-                        F.lit(stride),
-                    ),
-                    lambda o: F.xxhash64(F.substring("turn", o, F.lit(GRAM_LEN))),
-                )
-            ).alias("gh"),
-        )
-        .distinct()  # one candidate per (container, turn, gram value)
-    )
+    grams = _gram_index(conv_texts, stride)
     salted, probes = _salted_blocks_and_probes(
         grams, needles.select("conv_id", "gh"), "gh", max_bucket
     )
@@ -499,17 +529,17 @@ _SCAN_P = np.uint64(1099511628211)
 
 
 def _short_needles(
-    conv_texts: DataFrame, stride: int = GRAM_STRIDE
+    conv_texts: DataFrame, stride: int = GRAM_STRIDE, sampled: bool = False
 ) -> DataFrame:
     """Single-turn conversations shorter than GRAM_LEN + stride - 1 chars
-    (non-empty): the needle class the strided gram index cannot block."""
+    (non-empty): the needle class the strided gram index cannot block.
+    In sampled mode the gram path absorbs everything >= GRAM_LEN (at
+    partial recall), so the scan ceiling is fixed at GRAM_LEN."""
+    ceiling = GRAM_LEN if sampled else GRAM_LEN + stride - 1
     return (
         conv_texts.where(F.size("texts") == 1)
         .select("conv_id", F.element_at("texts", 1).alias("full"))
-        .where(
-            (F.length("full") >= 1)
-            & (F.length("full") < GRAM_LEN + stride - 1)
-        )
+        .where((F.length("full") >= 1) & (F.length("full") < ceiling))
     )
 
 
@@ -517,6 +547,7 @@ def _short_needle_pairs(
     conv_texts: DataFrame,
     max_short: int = SHORT_NEEDLE_CAP,
     stride: int = GRAM_STRIDE,
+    sampled: bool = False,
 ) -> DataFrame:
     """Mid-turn occurrences of single-turn needles SHORTER than
     GRAM_LEN + stride - 1: one vectorized MULTI-NEEDLE scan.
@@ -537,7 +568,7 @@ def _short_needle_pairs(
     shuffle of the corpus and no per-row Python in the hot loop.
     """
     short_rows = (
-        _short_needles(conv_texts, stride)
+        _short_needles(conv_texts, stride, sampled)
         .orderBy("conv_id")
         .limit(max_short)
         .collect()  # bounded by max_short: the explicit memory guard
@@ -619,10 +650,15 @@ def unindexed_short_needles(
     conv_texts: DataFrame,
     max_short: int = SHORT_NEEDLE_CAP,
     stride: int = GRAM_STRIDE,
+    sampled: bool = False,
 ) -> DataFrame:
     """Quarantine surface: short needles beyond the scan-closure memory
     cap (empty on any non-pathological corpus)."""
-    return _short_needles(conv_texts, stride).orderBy("conv_id").offset(max_short)
+    return (
+        _short_needles(conv_texts, stride, sampled)
+        .orderBy("conv_id")
+        .offset(max_short)
+    )
 
 
 def char_containment_pairs(
@@ -630,6 +666,7 @@ def char_containment_pairs(
     max_bucket: int = 4000,
     max_short: int = SHORT_NEEDLE_CAP,
     gram_stride: int = GRAM_STRIDE,
+    sampled: bool = False,
 ) -> DataFrame:
     """(conv_a, conv_b): conv_a's canonical composite text occurs ANYWHERE
     in conv_b's composite text (char-level generalized substring
@@ -648,6 +685,16 @@ def char_containment_pairs(
     gram_stride=1 reproduces the dense round-3 index; every stride is
     EXACT (recall 1.0), the knob only trades index volume against
     (stride x tiny) needle-probe fan-out and the scan's length ceiling.
+
+    sampled=True (EXTREME tier, recall < 1 — documented, off by
+    default): pair with a LARGE gram_stride (e.g. 16/64). The gram index
+    shrinks by ~stride; mid-length single-turn needles
+    (GRAM_LEN <= len < GRAM_LEN + stride - 1) are gram-blocked at
+    alignment coverage (len - GRAM_LEN + 1) / stride instead of riding
+    the scan, whose length ceiling stays fixed at GRAM_LEN. Boundary,
+    tail, long-needle, and sub-GRAM_LEN paths remain exact; precision is
+    1.0 everywhere (every candidate is verify-checked). See
+    test_sampled_char_containment_* for the measured recall/cost curve.
     """
     # the four paths are independent until the final union, but each path's
     # construction runs blocking driver work (the pruned-block
@@ -664,10 +711,10 @@ def char_containment_pairs(
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         gram_f = pool.submit(
-            _gram_path_pairs, conv_texts, max_bucket, gram_stride
+            _gram_path_pairs, conv_texts, max_bucket, gram_stride, sampled
         )
         short_f = pool.submit(
-            _short_needle_pairs, conv_texts, max_short, gram_stride
+            _short_needle_pairs, conv_texts, max_short, gram_stride, sampled
         )
         shared = _shared_suffix_blocks(conv_texts, max_bucket)
         base_f = pool.submit(containment_pairs, conv_texts, max_bucket, shared)

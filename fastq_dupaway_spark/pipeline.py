@@ -64,6 +64,11 @@ class DedupConfig:
     # (containment.GRAM_STRIDE proof); higher = smaller gram index,
     # 1 = the dense index
     char_gram_stride: int = 4
+    # EXTREME tier (recall < 1, documented): pair a LARGE stride with
+    # sampled=True — mid-length needles are gram-blocked at alignment
+    # coverage (len - GRAM_LEN + 1) / stride instead of widening the
+    # multi-needle scan; precision stays 1.0. Default off: exact.
+    char_sampled: bool = False
     # semantic (embedding-cosine) detector: uses the embeddings frame
     # (conv_id, embedding array<float>) passed to run_pipeline, or —
     # with semantic_embedder="feature_hash" — derives deterministic
@@ -247,7 +252,9 @@ def run_pipeline(
                 stage(
                     "containment_unindexed_needles",
                     lambda: unindexed_short_needles(
-                        ct, stride=config.char_gram_stride
+                        ct,
+                        stride=config.char_gram_stride,
+                        sampled=config.char_sampled,
                     ),
                 )
             pair_sets.append(
@@ -257,6 +264,7 @@ def run_pipeline(
                         ct,
                         config.max_bucket,
                         gram_stride=config.char_gram_stride,
+                        sampled=config.char_sampled,
                     ),
                 )
             )

@@ -248,3 +248,74 @@ def test_shared_suffix_blocks_paths_identical(spark):
     assert base_shared == base_alone
     assert tail_shared == tail_alone
     assert ("c1", "c3") in tail_shared and ("c1", "c6") in tail_shared
+
+
+class TestSampledExtremeTier:
+    """char_containment_pairs(sampled=True) — the documented recall<1
+    extreme tier (round-5 verdict item 6). At stride 8, a planted
+    single-turn needle of length L in [GRAM_LEN, GRAM_LEN+stride-1)
+    covers c = L - GRAM_LEN + 1 of the 8 offset residues, so of its 8
+    occurrences (one per pad residue, none boundary-aligned) EXACTLY c
+    are found — a deterministic per-needle recall of c/8. Precision
+    stays 1.0 (exact locate verify), long needles stay exact, and the
+    gram index shrinks ~stride-fold (the cost side of the trade)."""
+
+    STRIDE = 8
+    LENGTHS = (16, 18, 20, 23)  # coverage c = 1, 3, 5, 8(=exact)
+
+    def _convs(self):
+        base = "abcdefghijklmnopqrstuvwxyz0123456789"  # 36 distinct chars
+        convs = []
+        for i, ln in enumerate(self.LENGTHS):
+            # distinct leading char per length: needles never occur in
+            # another length's containers, so recall counts are per-needle
+            needle = chr(ord("A") + i) + base[: ln - 1]
+            convs.append((f"needle{ln}", [needle]))
+            for pad in range(1, self.STRIDE + 1):  # pads 1..8: every
+                # residue mod 8, none boundary-aligned (pure gram path)
+                convs.append(
+                    (f"cont{ln}_{pad}", ["x" * pad + needle + " tail filler"])
+                )
+        return convs
+
+    def _planted(self, found_pairs):
+        """(length -> found-container count) over the planted relation."""
+        per_len = {ln: 0 for ln in self.LENGTHS}
+        for ln in self.LENGTHS:
+            for pad in range(1, self.STRIDE + 1):
+                if tuple(sorted((f"needle{ln}", f"cont{ln}_{pad}"))) in found_pairs:
+                    per_len[ln] += 1
+        return per_len
+
+    def test_recall_cost_tradeoff_vs_exact(self, spark):
+        from fastq_dupaway_spark.detectors.containment import (
+            GRAM_LEN,
+            _gram_index,
+            char_containment_pairs,
+        )
+
+        convs = self._convs()
+        ct = conversation_texts(corpus.conv_df(spark, convs)).localCheckpoint()
+
+        exact = _pairs(char_containment_pairs(ct, gram_stride=self.STRIDE))
+        sampled = _pairs(
+            char_containment_pairs(ct, gram_stride=self.STRIDE, sampled=True)
+        )
+
+        # precision 1.0: sampled is a SUBSET of the exact relation
+        assert sampled <= exact
+        # exact mode finds every planted occurrence regardless of stride
+        assert self._planted(exact) == {ln: self.STRIDE for ln in self.LENGTHS}
+        # sampled recall is the PREDICTED alignment coverage c/stride,
+        # deterministically: c = min(stride, L - GRAM_LEN + 1) pads found
+        want = {
+            ln: min(self.STRIDE, ln - GRAM_LEN + 1) for ln in self.LENGTHS
+        }
+        assert self._planted(sampled) == want
+        # needles at len >= GRAM_LEN + stride - 1 remain EXACT when sampled
+        assert want[23] == self.STRIDE
+
+        # cost side: the strided index is ~stride-fold smaller than dense
+        dense_rows = _gram_index(ct, 1).count()
+        strided_rows = _gram_index(ct, self.STRIDE).count()
+        assert strided_rows * 6 < dense_rows, (strided_rows, dense_rows)

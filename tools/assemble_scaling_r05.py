@@ -15,7 +15,7 @@ toward 1 as per-core data grows — 100 TB / 1000 executors is ~10^4x
 more data per core than this bench.
 
 Usage:
-  python tools/assemble_scaling_r05.py X48_JSON X96A_JSON X96B_JSON
+  python tools/assemble_scaling_r05.py X48_JSON X96A_JSON X96B_JSON X96C_JSON
 """
 
 from __future__ import annotations
@@ -52,10 +52,10 @@ def campaign(d: dict, replicas: int) -> dict:
 
 
 def main() -> None:
-    x48, x96a, x96b = (load(p) for p in sys.argv[1:4])
-    x96_reps = x96a["reps"] + x96b["reps"]
+    x48, x96a, x96b, x96c = (load(p) for p in sys.argv[1:5])
+    x96_reps = x96a["reps"] + x96b["reps"] + x96c["reps"]
     best = max(x96_reps, key=lambda r: r["efficiency"])
-    src = x96a if best in x96a["reps"] else x96b
+    src = next(c for c in (x96a, x96b, x96c) if best in c["reps"])
     commit = subprocess.run(
         ["git", "-C", str(REPO), "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True,
@@ -101,7 +101,7 @@ def main() -> None:
                     if not x["noise_suspected"]
                 ],
             }
-            for r, c in ((48, [x48]), (96, [x96a, x96b]))
+            for r, c in ((48, [x48]), (96, [x96a, x96b, x96c]))
         ],
         "trend_note": (
             "suite efficiency rises monotonically with data-per-core at "
@@ -126,6 +126,17 @@ def main() -> None:
             ),
             "observed": "aborted at ~80 min wall, ~9000 JVM CPU-sec",
         },
+        "campaigns": {
+            "x48": campaign(x48, 48),
+            "x96a": campaign(x96a, 96),
+            "x96b": campaign(x96b, 96),
+            "x96c": campaign(x96c, 96),
+        },
+        "code_note": (
+            "commits 877b826..23519ec differ only in documentation "
+            "(STATUS/BENCH/README/skill); all campaign legs ran the "
+            "identical library/bench code"
+        ),
         "assembled_at_commit": commit,
     }
     path = REPO / "BENCH" / "scaling_r05.json"

@@ -47,9 +47,10 @@ def with_salt(
     over-cap keys and BROADCAST back — heavy hitters are few by
     definition, so the dim is small, and this avoids the full sort a
     window(count over partitionBy) would impose on the entire band table.
-    `df` is scanned twice (sizes + salt join): callers pass a
-    checkpointed/cached band table (salted_self_pairs does). Pass `hot`
-    to reuse an already-computed hot_buckets() frame.
+    Without `hot`, `df` is scanned twice (sizes + salt join): callers
+    pass a cached band table. Pass `hot` (as salted_self_pairs does, via
+    materialize_and_size) to reuse a precomputed — ideally driver-local —
+    hot_buckets() frame and skip the sizing scan entirely.
 
     Self-joins must add `salt` to the equi-join key. Including the key
     columns in the salt hash makes different bands cut a hot population
@@ -77,6 +78,35 @@ def with_salt(
     )
 
 
+def materialize_and_size(
+    df: DataFrame, key_cols: list[str], max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """persist(df) + the hot-bucket sizing aggregation, fused into ONE
+    Spark job: the first action on a persisted DataFrame populates the
+    cache as a side effect of scanning, so running the sizing groupBy as
+    that first action materializes the band table AND returns the
+    over-cap keys in a single pass. The collected rows are rebuilt as a
+    driver-local relation, so the downstream broadcast of the salt dim is
+    a driver-side copy — no second scan, no extra job barrier. (Round-4
+    shape was localCheckpoint job -> sizing/broadcast-build job -> join:
+    three serial barriers per detector row; this is the 'fuse the hot-dim
+    sizing into the checkpoint action' cut, STATUS r5 known-limit #2.)
+
+    Driver-size envelope: the collect carries ONE row per over-cap key —
+    heavy hitters, few by definition (each accounts for > max_bucket
+    corpus rows, so there can be at most |rows|/max_bucket of them), and
+    exactly the rows the broadcast exchange would have shipped through
+    the driver anyway. persist() (MEMORY_AND_DISK) also keeps lineage,
+    unlike localCheckpoint — on a real cluster an executor loss
+    recomputes the band partition instead of failing the job.
+
+    Returns (persisted df, local hot frame (key_cols..., bucket_n))."""
+    df = df.persist()
+    plan = hot_buckets(df, key_cols, max_bucket)
+    hot = df.sparkSession.createDataFrame(plan.collect(), plan.schema)
+    return df, hot
+
+
 def salted_self_pairs(
     df: DataFrame,
     key_cols: list[str],
@@ -88,17 +118,18 @@ def salted_self_pairs(
     """Within-bucket self-join -> (conv_a, conv_b [, carry_a.., carry_b..])
     with conv_a < conv_b, under the salted hot-bucket policy.
 
-    materialize (default): the band table is localCheckpoint'ed before
-    sizing and self-joining — the size aggregation and both join sides
-    would otherwise recompute the (often expensive: signatures) upstream
-    plan; measured ~2x on the simhash/minhash paths. Rows are fixed-width
-    ids + hashes, so the checkpoint is small relative to the corpus, and
-    MEMORY_AND_DISK spills under pressure. Pass False to keep the
-    composition fully lazy (e.g. when the input is already a checkpointed
-    stage table)."""
+    materialize (default): the band table is persisted and sized in ONE
+    fused job (materialize_and_size) — the size aggregation and both join
+    sides would otherwise recompute the (often expensive: signatures)
+    upstream plan; measured ~2x on the simhash/minhash paths. Rows are
+    fixed-width ids + hashes, so the cache is small relative to the
+    corpus, and MEMORY_AND_DISK spills under pressure. Pass False to keep
+    the composition fully lazy (e.g. when the input is already a
+    checkpointed stage table)."""
+    hot = None
     if materialize:
-        df = df.localCheckpoint()
-    salted = with_salt(df, key_cols, id_col, max_bucket)
+        df, hot = materialize_and_size(df, key_cols, max_bucket)
+    salted = with_salt(df, key_cols, id_col, max_bucket, hot=hot)
     a, b = salted.alias("a"), salted.alias("b")
     cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
     cond.append(F.col("a.salt") == F.col("b.salt"))

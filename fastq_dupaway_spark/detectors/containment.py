@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .buckets import hot_buckets, with_salt
+from .buckets import hot_buckets, materialize_and_size, with_salt
 
 #: block key width: blocking fan-out is |turns| * PREFIX_LEN id-only rows
 PREFIX_LEN = 16
@@ -113,8 +113,8 @@ def _salted_blocks_and_probes(
     blocks: DataFrame, needles: DataFrame, key: str, max_bucket: int
 ):
     """Shared hot-block machinery for the two-sided (needle x block)
-    joins: localCheckpoint the id-only block table once, size buckets via
-    a map-side-combined groupBy (no window sort), salt over-cap blocks,
+    joins: persist + size the id-only block table in one fused job
+    (map-side-combined groupBy, no window sort), salt over-cap blocks,
     and replicate each needle probe across its block's salts (probes
     carry only ids + hashes). Returns (salted_blocks, probes) — join on
     (key, salt).
@@ -150,15 +150,19 @@ def _salted_blocks_and_probes(
 def _prune_salt_checkpoint(
     blocks: DataFrame, needle_keys: DataFrame, key: str, max_bucket: int
 ):
-    """Needle-set pushdown + one localCheckpoint + bucket sizing + salting
+    """Needle-set pushdown + one fused materialize+size job + salting
     (see _salted_blocks_and_probes). Split out so char_containment_pairs
     can build the suffix-block table ONCE (pruned by the UNION of its two
     needle-key sets) and share it across the boundary and tail paths.
+    The pruned block table is persisted and its over-cap buckets sized in
+    a single action (buckets.materialize_and_size), so the salt dim — and
+    the probe-replication dim derived from it — is a driver-local
+    relation: one job instead of the round-4 checkpoint-then-size pair.
     Returns (salted_blocks, salt_dim)."""
     blocks = blocks.join(
         F.broadcast(needle_keys.select(key).distinct()), key, "left_semi"
-    ).localCheckpoint()
-    hot = hot_buckets(blocks, [key], max_bucket)
+    )
+    blocks, hot = materialize_and_size(blocks, [key], max_bucket)
     dim = hot.select(
         key, F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
     )
@@ -317,8 +321,8 @@ def _tail_needles(conv_texts: DataFrame) -> DataFrame:
 def _shared_suffix_blocks(conv_texts: DataFrame, max_bucket: int):
     """Build the all-boundaries suffix-block table ONCE for
     char_containment_pairs: pruned by the UNION of the boundary path's
-    needle keys and the tail path's needle keys, localCheckpointed once,
-    sized + salted once. Each path then semi-filters by joining its own
+    needle keys and the tail path's needle keys, persisted + sized in one
+    fused job, salted once. Each path then semi-filters by joining its own
     probes (a non-matching ph simply never joins), so sharing is exact;
     the union-pruned table is a superset of each path's former table and
     union sizing only ever INCREASES a key's salt count, which

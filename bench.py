@@ -334,6 +334,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     probes: dict[str, float] = {}  # noise probes bracketing the heavy rows
+    # one DISCARDED warmup probe: the first probe pipeline pays JVM JIT
+    # compilation (~2x, measured 0.36-0.66 s vs a 0.16-0.25 s warm floor),
+    # which pushed probe_noise_ratio past the 2.0 flag threshold on
+    # perfectly healthy runs — the flag should mean host windows, not JIT
+    _probe(spark, cpus)
     probes["before_suite"] = _probe(spark, cpus)
     found_pairs = {}  # detector pair DataFrames kept persisted for recall
 
@@ -424,8 +429,11 @@ def main() -> None:
             verify_cosine_pairs,
         )
 
+        # no emb.count(): the fused materialize+size action inside
+        # semantic_candidates (buckets.materialize_and_size) computes the
+        # embedding UDF exactly once and populates this cache in passing
+        # — an explicit count here would be one more serial job barrier
         emb = conv_embeddings(spark, t, sf_dir).persist()
-        emb.count()
         # candidates materialized as their OWN action before the verify
         # join — the folded mega-DAG was bimodal (41-73s vs 22s staged),
         # same AQE trap as the minhash row (see minhash_cc comment)
@@ -461,11 +469,14 @@ def main() -> None:
         # as one DAG whose first materialization is the CC edge checkpoint
         # — round 1 staged 5 persist+count boundaries here and their serial
         # driver time dominated the scaling loss
+        # no sh.count(): lsh_candidates' fused materialize+size action
+        # (buckets.materialize_and_size) computes shingles -> signatures
+        # -> bands in ONE job that populates this cache in passing, so
+        # the pandas-UDF signature stage still runs exactly once and the
+        # explicit count would only add a serial job barrier
         sh = shingle_hashes(t, 3).persist()
-        sh.count()
-        # the band self-join's input is localCheckpoint'ed inside
-        # lsh_candidates (buckets.salted_self_pairs), so the pandas-UDF
-        # signature stage runs exactly once. The candidate join is then
+        # the band self-join's input is persisted + sized inside
+        # lsh_candidates (buckets.salted_self_pairs). The candidate join is then
         # materialized as its OWN action before verify+CC: folding
         # sigs->bands->join->verify->CC into one AQE mega-DAG was bimodal
         # (34s or ~120s depending on the runtime join plan AQE picked

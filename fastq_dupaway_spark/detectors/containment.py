@@ -56,6 +56,31 @@ PREFIX_LEN = 16
 _US = "\x1f"
 
 
+def _needle_key_semi_join(
+    blocks: DataFrame, keys: DataFrame, key: str, broadcast: bool
+) -> DataFrame:
+    """The needle-set pushdown semi-join, with its scale fallback.
+
+    broadcast=True (default everywhere): explicit F.broadcast hint on the
+    distinct needle-key side — one 8-byte hash per conversation, fine to
+    ~10^8 conversations (~1-2 GB on executors; see
+    _salted_blocks_and_probes for why the hint is load-bearing).
+
+    broadcast=False (beyond that envelope): the SHUFFLE_HASH hint forces
+    a co-partitioned shuffled hash semi-join that builds the hash table
+    from the needle-key side — both sides hash-exchange on `key`, no
+    executor ever holds the full key set, and the block side is still
+    never sorted (a MERGE fallback would sort the O(|turns| x PREFIX_LEN)
+    table). The block-side exchange this re-admits is the price of
+    leaving the broadcast envelope; candidates/verify are unchanged, so
+    recall stays 1.0 by construction (pytest-pinned identical pair sets
+    and plan shape in test_containment)."""
+    keys = keys.select(key).distinct()
+    if broadcast:
+        return blocks.join(F.broadcast(keys), key, "left_semi")
+    return blocks.join(keys.hint("shuffle_hash"), key, "left_semi")
+
+
 def _needles(conv_texts: DataFrame) -> DataFrame:
     """(conv_id, full_text, ph): one probe row per conversation."""
     return conv_texts.select(
@@ -110,7 +135,11 @@ def _suffix_blocks(suffixes: DataFrame) -> DataFrame:
 
 
 def _salted_blocks_and_probes(
-    blocks: DataFrame, needles: DataFrame, key: str, max_bucket: int
+    blocks: DataFrame,
+    needles: DataFrame,
+    key: str,
+    max_bucket: int,
+    broadcast_needles: bool = True,
 ):
     """Shared hot-block machinery for the two-sided (needle x block)
     joins: persist + size the id-only block table in one fused job
@@ -141,14 +170,21 @@ def _salted_blocks_and_probes(
 
     100 TB envelope: broadcasting one distinct hash per conversation is
     fine up to ~10^8 conversations (~1-2 GB on executors); beyond that,
-    drop the hint and accept the co-partitioned shuffle semi-join (or
-    substitute a runtime bloom filter) — the knob is this one line."""
-    salted, dim = _prune_salt_checkpoint(blocks, needles, key, max_bucket)
+    pass broadcast_needles=False (DedupConfig.broadcast_needle_keys) and
+    the semi-join runs as a co-partitioned shuffled hash join instead
+    (_needle_key_semi_join)."""
+    salted, dim = _prune_salt_checkpoint(
+        blocks, needles, key, max_bucket, broadcast_needles
+    )
     return salted, _probes_for(needles, dim, key)
 
 
 def _prune_salt_checkpoint(
-    blocks: DataFrame, needle_keys: DataFrame, key: str, max_bucket: int
+    blocks: DataFrame,
+    needle_keys: DataFrame,
+    key: str,
+    max_bucket: int,
+    broadcast_needles: bool = True,
 ):
     """Needle-set pushdown + one fused materialize+size job + salting
     (see _salted_blocks_and_probes). Split out so char_containment_pairs
@@ -159,9 +195,7 @@ def _prune_salt_checkpoint(
     the probe-replication dim derived from it — is a driver-local
     relation: one job instead of the round-4 checkpoint-then-size pair.
     Returns (salted_blocks, salt_dim)."""
-    blocks = blocks.join(
-        F.broadcast(needle_keys.select(key).distinct()), key, "left_semi"
-    )
+    blocks = _needle_key_semi_join(blocks, needle_keys, key, broadcast_needles)
     blocks, hot = materialize_and_size(blocks, [key], max_bucket)
     dim = hot.select(
         key, F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts")
@@ -193,6 +227,7 @@ def _contained_pairs(
     all_boundaries: bool,
     max_bucket: int,
     shared_blocks=None,
+    broadcast_needles: bool = True,
 ) -> DataFrame:
     needles = _needles(conv_texts)
     if shared_blocks is not None:
@@ -201,7 +236,11 @@ def _contained_pairs(
     else:
         blocks = _suffix_blocks(_suffixes(conv_texts, all_boundaries))
         salted, probes = _salted_blocks_and_probes(
-            blocks, needles.select("conv_id", "ph"), "ph", max_bucket
+            blocks,
+            needles.select("conv_id", "ph"),
+            "ph",
+            max_bucket,
+            broadcast_needles,
         )
 
     cands = (
@@ -236,7 +275,10 @@ def _contained_pairs(
 
 
 def containment_pairs(
-    conv_texts: DataFrame, max_bucket: int = 4000, shared_blocks=None
+    conv_texts: DataFrame,
+    max_bucket: int = 4000,
+    shared_blocks=None,
+    broadcast_needles: bool = True,
 ) -> DataFrame:
     """(conv_a, conv_b): conv_a's text occurs at a turn boundary of conv_b
     (conv_a != conv_b; equal-text conversations pair both ways reduced to
@@ -251,29 +293,40 @@ def containment_pairs(
         all_boundaries=True,
         max_bucket=max_bucket,
         shared_blocks=shared_blocks,
+        broadcast_needles=broadcast_needles,
     )
 
 
 def prefix_containment_pairs(
-    conv_texts: DataFrame, max_bucket: int = 4000
+    conv_texts: DataFrame,
+    max_bucket: int = 4000,
+    broadcast_needles: bool = True,
 ) -> DataFrame:
     """Reference-loose relation only (needle is a PREFIX of the container,
     boundary 0): the transitive pair set matching
     /root/reference/src/comparator.cpp:60-63 semantics."""
-    return _contained_pairs(conv_texts, all_boundaries=False, max_bucket=max_bucket)
+    return _contained_pairs(
+        conv_texts,
+        all_boundaries=False,
+        max_bucket=max_bucket,
+        broadcast_needles=broadcast_needles,
+    )
 
 
 def containment_hot_buckets(
-    conv_texts: DataFrame, max_bucket: int = 4000
+    conv_texts: DataFrame,
+    max_bucket: int = 4000,
+    broadcast_needles: bool = True,
 ) -> DataFrame:
     """Quarantine surface: over-cap (ph, bucket_n) blocks, measured after
     the needle-set pushdown (the same pruned table the candidate join
     sees — that is the fan-out that matters). ph is a hash; joining back
     to _suffixes recovers the offending prefixes if needed."""
-    blocks = _suffix_blocks(_suffixes(conv_texts, all_boundaries=True)).join(
-        F.broadcast(_needles(conv_texts).select("ph").distinct()),
+    blocks = _needle_key_semi_join(
+        _suffix_blocks(_suffixes(conv_texts, all_boundaries=True)),
+        _needles(conv_texts),
         "ph",
-        "left_semi",
+        broadcast_needles,
     )
     return hot_buckets(blocks, ["ph"], max_bucket)
 
@@ -318,7 +371,9 @@ def _tail_needles(conv_texts: DataFrame) -> DataFrame:
     )
 
 
-def _shared_suffix_blocks(conv_texts: DataFrame, max_bucket: int):
+def _shared_suffix_blocks(
+    conv_texts: DataFrame, max_bucket: int, broadcast_needles: bool = True
+):
     """Build the all-boundaries suffix-block table ONCE for
     char_containment_pairs: pruned by the UNION of the boundary path's
     needle keys and the tail path's needle keys, persisted + sized in one
@@ -336,11 +391,16 @@ def _shared_suffix_blocks(conv_texts: DataFrame, max_bucket: int):
         .unionByName(_tail_needles(conv_texts).select("ph"))
     )
     blocks = _suffix_blocks(_suffixes(conv_texts, all_boundaries=True))
-    return _prune_salt_checkpoint(blocks, keys, "ph", max_bucket)
+    return _prune_salt_checkpoint(
+        blocks, keys, "ph", max_bucket, broadcast_needles
+    )
 
 
 def _tail_path_pairs(
-    conv_texts: DataFrame, max_bucket: int, shared_blocks=None
+    conv_texts: DataFrame,
+    max_bucket: int,
+    shared_blocks=None,
+    broadcast_needles: bool = True,
 ) -> DataFrame:
     """Mid-turn occurrences of MULTI-turn needles.
 
@@ -363,7 +423,8 @@ def _tail_path_pairs(
             F.col("turn_k") >= 2
         )
         salted, probes = _salted_blocks_and_probes(
-            blocks, tails.select("conv_id", "ph"), "ph", max_bucket
+            blocks, tails.select("conv_id", "ph"), "ph", max_bucket,
+            broadcast_needles,
         )
     cands = (
         probes.join(salted, ["ph", "salt"])
@@ -426,6 +487,7 @@ def _gram_path_pairs(
     max_bucket: int,
     stride: int = GRAM_STRIDE,
     sampled: bool = False,
+    broadcast_needles: bool = True,
 ) -> DataFrame:
     """Mid-turn occurrences of SINGLE-turn needles with
     len >= GRAM_LEN + stride - 1 (exact mode) / len >= GRAM_LEN (sampled).
@@ -492,7 +554,8 @@ def _gram_path_pairs(
     )
     grams = _gram_index(conv_texts, stride)
     salted, probes = _salted_blocks_and_probes(
-        grams, needles.select("conv_id", "gh"), "gh", max_bucket
+        grams, needles.select("conv_id", "gh"), "gh", max_bucket,
+        broadcast_needles,
     )
     cands = (
         probes.join(salted, ["gh", "salt"])
@@ -671,6 +734,7 @@ def char_containment_pairs(
     max_short: int = SHORT_NEEDLE_CAP,
     gram_stride: int = GRAM_STRIDE,
     sampled: bool = False,
+    broadcast_needles: bool = True,
 ) -> DataFrame:
     """(conv_a, conv_b): conv_a's canonical composite text occurs ANYWHERE
     in conv_b's composite text (char-level generalized substring
@@ -715,12 +779,17 @@ def char_containment_pairs(
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         gram_f = pool.submit(
-            _gram_path_pairs, conv_texts, max_bucket, gram_stride, sampled
+            _gram_path_pairs,
+            conv_texts,
+            max_bucket,
+            gram_stride,
+            sampled,
+            broadcast_needles,
         )
         short_f = pool.submit(
             _short_needle_pairs, conv_texts, max_short, gram_stride, sampled
         )
-        shared = _shared_suffix_blocks(conv_texts, max_bucket)
+        shared = _shared_suffix_blocks(conv_texts, max_bucket, broadcast_needles)
         base_f = pool.submit(containment_pairs, conv_texts, max_bucket, shared)
         tail_f = pool.submit(_tail_path_pairs, conv_texts, max_bucket, shared)
         base, tail, gram, short = (

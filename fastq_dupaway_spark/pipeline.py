@@ -69,6 +69,13 @@ class DedupConfig:
     # coverage (len - GRAM_LEN + 1) / stride instead of widening the
     # multi-needle scan; precision stays 1.0. Default off: exact.
     char_sampled: bool = False
+    # needle-key pushdown strategy for the containment detectors
+    # (containment._needle_key_semi_join): True broadcasts the distinct
+    # needle-key set (one 8-byte hash per conversation — the default,
+    # good to ~10^8 conversations / ~1-2 GB per executor); False is the
+    # beyond-envelope fallback, a co-partitioned shuffled-hash semi-join
+    # that never materializes the key set on executors
+    broadcast_needle_keys: bool = True
     # semantic (embedding-cosine) detector: uses the embeddings frame
     # (conv_id, embedding array<float>) passed to run_pipeline, or —
     # with semantic_embedder="feature_hash" — derives deterministic
@@ -231,12 +238,20 @@ def run_pipeline(
             if store is not None:
                 stage(
                     "containment_hot_buckets",
-                    lambda: containment_hot_buckets(ct, config.max_bucket),
+                    lambda: containment_hot_buckets(
+                        ct,
+                        config.max_bucket,
+                        broadcast_needles=config.broadcast_needle_keys,
+                    ),
                 )
             pair_sets.append(
                 stage(
                     "containment_pairs",
-                    lambda: containment_pairs(ct, config.max_bucket),
+                    lambda: containment_pairs(
+                        ct,
+                        config.max_bucket,
+                        broadcast_needles=config.broadcast_needle_keys,
+                    ),
                 )
             )
         if config.char_containment:
@@ -265,6 +280,7 @@ def run_pipeline(
                         config.max_bucket,
                         gram_stride=config.char_gram_stride,
                         sampled=config.char_sampled,
+                        broadcast_needles=config.broadcast_needle_keys,
                     ),
                 )
             )

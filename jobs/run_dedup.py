@@ -78,6 +78,14 @@ def parse_args(argv=None) -> argparse.Namespace:
         help="tf-idf-weight the simhash detector's token votes (restores "
         "band selectivity on boilerplate-heavy corpora)",
     )
+    p.add_argument(
+        "--no-broadcast-needles",
+        action="store_true",
+        help="beyond-envelope tier (> ~10^8 conversations) for the "
+        "containment detectors: run the needle-key pushdown as a "
+        "co-partitioned shuffled-hash semi-join instead of broadcasting "
+        "the distinct key set to every executor",
+    )
     p.add_argument("--max-bucket", type=int, default=2000)
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
@@ -133,6 +141,7 @@ def main(argv=None) -> None:
         hamming_d=args.distance,
         jaccard_threshold=args.jaccard,
         max_bucket=args.max_bucket,
+        broadcast_needle_keys=not args.no_broadcast_needles,
     )
     emb = (
         spark.read.parquet(args.embeddings)

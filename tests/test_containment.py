@@ -6,6 +6,8 @@ from itertools import combinations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from fastq_dupaway_spark import corpus
 from fastq_dupaway_spark.canonicalize import conversation_texts
 from fastq_dupaway_spark.detectors.containment import (
@@ -319,3 +321,44 @@ class TestSampledExtremeTier:
         dense_rows = _gram_index(ct, 1).count()
         strided_rows = _gram_index(ct, self.STRIDE).count()
         assert strided_rows * 6 < dense_rows, (strided_rows, dense_rows)
+
+
+class TestNeedleKeyFallback:
+    """broadcast_needles=False (the beyond-~10^8-conversation tier,
+    DedupConfig.broadcast_needle_keys / --no-broadcast-needles): the
+    needle-key pushdown must run as a co-partitioned shuffled-hash
+    semi-join and yield the IDENTICAL pair relation — recall 1.0 is by
+    construction (candidates/verify unchanged), pinned here anyway."""
+
+    def test_plan_shape(self, spark):
+        from fastq_dupaway_spark.detectors.containment import (
+            _needle_key_semi_join,
+        )
+
+        blocks = spark.range(100).select(
+            F.col("id").alias("ph"), F.lit("c").alias("container_id")
+        )
+        keys = spark.range(10).select(F.col("id").alias("ph"))
+
+        def plan(broadcast):
+            df = _needle_key_semi_join(blocks, keys, "ph", broadcast)
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        assert "BroadcastHashJoin" in plan(True)
+        fb = plan(False)
+        assert "ShuffledHashJoin" in fb
+        assert "BroadcastHashJoin" not in fb
+
+    def test_identical_pairs_both_strategies(self, spark):
+        from fastq_dupaway_spark.detectors.containment import (
+            char_containment_pairs,
+        )
+
+        convs = corpus.generate_corpus(seed=23, n_conv=60, dup_rate=0.5)
+        ct = conversation_texts(corpus.conv_df(spark, convs)).localCheckpoint()
+        assert _pairs(containment_pairs(ct, broadcast_needles=False)) == _pairs(
+            containment_pairs(ct)
+        ) == _brute_containment(convs)
+        assert _pairs(
+            char_containment_pairs(ct, broadcast_needles=False)
+        ) == _pairs(char_containment_pairs(ct))

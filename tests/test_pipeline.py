@@ -179,3 +179,25 @@ def test_hot_bucket_quarantine_stage(spark, tmp_path):
         if r["conv_id"].startswith("h")
     }
     assert reps == {"h000"}
+
+
+def test_pipeline_broadcast_needle_keys_fallback_same_clusters(spark):
+    """DedupConfig.broadcast_needle_keys=False (the --no-broadcast-needles
+    beyond-envelope tier) must thread through run_pipeline to every
+    containment path and leave the cluster relation unchanged."""
+    convs = corpus.generate_corpus(seed=31, n_conv=70, dup_rate=0.5)
+    t = corpus.conv_df(spark, convs).localCheckpoint()
+
+    def clusters(broadcast):
+        cfg = DedupConfig(
+            exact=True,
+            containment=True,
+            char_containment=True,
+            broadcast_needle_keys=broadcast,
+        )
+        res = run_pipeline(t, cfg)
+        return {
+            (r["conv_id"], r["rep_conv_id"]) for r in res.clusters.collect()
+        }
+
+    assert clusters(False) == clusters(True)

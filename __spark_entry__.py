@@ -406,6 +406,35 @@ def _q_hamming_parity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus exact assignment (incremental.py): the corpus/delta
+    split is the engine-portable md5(conv_id) predicate, so the oracle can
+    reproduce it bit-identically."""
+    from fastq_dupaway_spark.incremental import (
+        exact_incremental_assign,
+        split_corpus_delta,
+    )
+
+    corpus, delta = split_corpus_delta(build_transcripts(spark, sf_dir))
+    return exact_incremental_assign(corpus, delta).orderBy("conv_id")
+
+
+def _q_incremental_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-touching MinHash-LSH pairs (corpus-cross + within-delta) at
+    the jaccard_pairs config (k=128, 32 bands x 4 rows -> P(miss) < 1e-7
+    at J>=0.8); oracle is brute-force Jaccard filtered to pairs with at
+    least one delta member."""
+    from fastq_dupaway_spark.incremental import (
+        minhash_incremental_pairs,
+        split_corpus_delta,
+    )
+
+    corpus, delta = split_corpus_delta(build_transcripts(spark, sf_dir))
+    return minhash_incremental_pairs(
+        corpus, delta, n=3, k=128, n_bands=32, threshold=0.8
+    ).orderBy("conv_a", "conv_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: exact dedup cluster-size profile on sf0.001."""
     return _q_exact_cluster_sizes(spark, SF_DEFAULT)
@@ -437,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_order_volume": _q_nation_order_volume,
         "user_event_seq": _q_user_event_seq,
         "simhash_pairs_md5": _q_simhash_pairs_md5,
+        "incremental_exact": _q_incremental_exact,
+        "incremental_jaccard_pairs": _q_incremental_jaccard_pairs,
         # rows-only check (no oracle entry — engine-hash-dependent
         # signatures; the md5_60 variant above oracles the same plan):
         "simhash_pairs": _q_simhash_pairs,
@@ -955,5 +986,64 @@ def oracle_sql() -> dict[str, str]:
                 FROM scan s JOIN ordered o ON o.rn = s.rn + 1
             )
             SELECT conv_id, rep_conv_id FROM scan ORDER BY conv_id
+        """,
+        # incremental (delta-vs-corpus) dedup: the md5(conv_id) split
+        # predicate is bit-identical across engines (both hash the UTF-8
+        # conv_id bytes to lowercase hex)
+        "incremental_exact": _T + """
+            , keys AS (
+                SELECT conv_id, string_agg(text, chr(31) ORDER BY turn_idx) AS k
+                FROM transcripts GROUP BY conv_id
+            ),
+            delta AS (
+                SELECT conv_id, k FROM keys
+                WHERE substr(md5(conv_id), 1, 1) IN ('0', '1', '2', '3')
+            ),
+            corpus AS (
+                SELECT conv_id, k FROM keys
+                WHERE substr(md5(conv_id), 1, 1) NOT IN ('0', '1', '2', '3')
+            ),
+            corpus_rep AS (
+                SELECT k, min(conv_id) AS corpus_rep FROM corpus GROUP BY k
+            ),
+            delta_min AS (
+                SELECT k, min(conv_id) AS delta_min FROM delta GROUP BY k
+            )
+            SELECT d.conv_id,
+                   coalesce(c.corpus_rep, m.delta_min) AS rep_conv_id
+            FROM delta d
+            LEFT JOIN corpus_rep c ON c.k = d.k
+            JOIN delta_min m ON m.k = d.k
+            ORDER BY d.conv_id
+        """,
+        "incremental_jaccard_pairs": _T + """
+            , toks AS (
+                SELECT conv_id, string_split(text, ' ') AS t
+                FROM transcripts
+            ),
+            sh AS (
+                SELECT DISTINCT conv_id,
+                       CASE WHEN len(t) >= 3
+                            THEN array_to_string(list_slice(t, k + 1, k + 3), ' ')
+                            ELSE array_to_string(t, ' ') END AS shingle
+                FROM toks, LATERAL unnest(
+                    range(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 1 END)
+                ) AS u(k)
+            ),
+            sizes AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY conv_id),
+            inter AS (
+                SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.conv_id < b.conv_id
+                GROUP BY 1, 2
+            )
+            SELECT conv_a, conv_b
+            FROM inter
+            JOIN sizes sa ON sa.conv_id = conv_a
+            JOIN sizes sb ON sb.conv_id = conv_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+              AND (substr(md5(conv_a), 1, 1) IN ('0', '1', '2', '3')
+                   OR substr(md5(conv_b), 1, 1) IN ('0', '1', '2', '3'))
+            ORDER BY conv_a, conv_b
         """,
     }

@@ -114,6 +114,7 @@ def salted_self_pairs(
     max_bucket: int,
     carry_cols: list[str] | None = None,
     materialize: bool = True,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Within-bucket self-join -> (conv_a, conv_b [, carry_a.., carry_b..])
     with conv_a < conv_b, under the salted hot-bucket policy.
@@ -125,8 +126,13 @@ def salted_self_pairs(
     fixed-width ids + hashes, so the cache is small relative to the
     corpus, and MEMORY_AND_DISK spills under pressure. Pass False to keep
     the composition fully lazy (e.g. when the input is already a
-    checkpointed stage table)."""
-    hot = None
+    checkpointed stage table).
+
+    hot: optional precomputed hot_buckets() frame (ideally driver-local)
+    for callers that already persisted + sized `df` themselves — e.g. the
+    incremental path, which reuses ONE sized delta band table for both
+    this self-join and the corpus cross-join. Ignored when materialize
+    is True (the fused job computes its own)."""
     if materialize:
         df, hot = materialize_and_size(df, key_cols, max_bucket)
     salted = with_salt(df, key_cols, id_col, max_bucket, hot=hot)
@@ -142,6 +148,78 @@ def salted_self_pairs(
         cols.append(F.col(f"a.{c}").alias(f"{c}_a"))
         cols.append(F.col(f"b.{c}").alias(f"{c}_b"))
     return a.join(b, on=cond).select(*cols).distinct()
+
+
+def salted_cross_pairs(
+    df: DataFrame,
+    probes: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_bucket: int,
+    probe_id_col: str | None = None,
+    materialize: bool = True,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Bucket join of a big blocked table (`df`) against a probe table on
+    key_cols -> (conv_a, conv_b) with conv_a < conv_b, under the salted
+    hot-bucket policy. The incremental-dedup primitive: `df` is the
+    (corpus-sized) band table, `probes` the (delta-sized) one.
+
+    Salting is one-sided: the BIG side is cut into bounded sub-buckets
+    and each probe row is replicated across its bucket's salts (probes
+    carry only ids + keys — the containment needle-pushdown pattern,
+    containment._probes_for). Unlike the self-join case, cross recall
+    inside a hot bucket is therefore exactly 1.0 per band: every probe
+    visits every salt, no pair is deferred to a different band's cut.
+    Pair volume per hot key is O(B_big * B_probe) regardless of salting —
+    salting bounds the per-task working set, and `hot_buckets` on the
+    probe side is the caller's quarantine surface for probe-side heavy
+    hitters (a delta batch is bounded by construction).
+
+    broadcast_probes (default): explicit broadcast hint on the replicated
+    probe side — a delta band table is |delta| x n_bands fixed-width rows
+    (+ hot-salt replication), fine to ~10^7-conversation delta batches;
+    beyond that, False routes through a co-partitioned SHUFFLE_HASH join
+    that builds the hash table from the probe side (same fallback
+    rationale as containment._needle_key_semi_join)."""
+    if materialize:
+        df, hot = materialize_and_size(df, key_cols, max_bucket)
+    else:
+        hot = hot_buckets(df, key_cols, max_bucket)
+    salted = with_salt(df, key_cols, id_col, max_bucket, hot=hot)
+    dim = hot.select(
+        *key_cols,
+        F.ceil(F.col("bucket_n") / max_bucket).cast("int").alias("n_salts"),
+    )
+    pid = probe_id_col or id_col
+    replicated = (
+        probes.join(F.broadcast(dim), key_cols, "left")
+        .select(
+            F.col(pid).alias("__probe_id"),
+            *key_cols,
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.coalesce(F.col("n_salts"), F.lit(1)) - 1
+                )
+            ).alias("salt"),
+        )
+    )
+    a = salted.alias("a")
+    b = (
+        F.broadcast(replicated) if broadcast_probes
+        else replicated.hint("shuffle_hash")
+    ).alias("b")
+    cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in key_cols]
+    cond.append(F.col("a.salt") == F.col("b.salt"))
+    cond.append(F.col(f"a.{id_col}") != F.col("b.__probe_id"))
+    return (
+        a.join(b, on=cond)
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col("b.__probe_id")).alias("conv_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col("b.__probe_id")).alias("conv_b"),
+        )
+        .distinct()
+    )
 
 
 def hot_buckets(

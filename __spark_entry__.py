@@ -24,7 +24,7 @@ from fastq_dupaway_spark.canonicalize import conversation_texts
 from fastq_dupaway_spark.clustering import clusters_with_singletons
 from fastq_dupaway_spark.detectors import exact
 from fastq_dupaway_spark.detectors.hamming_exact import hamming_pairs_exact
-from fastq_dupaway_spark.detectors.minhash import minhash_pairs
+from fastq_dupaway_spark.detectors.minhash import minhash_pairs_fused
 from fastq_dupaway_spark.detectors.parity_scan import parity_clusters
 from fastq_dupaway_spark.functions import text as TX
 from fastq_dupaway_spark.functions.similarity import cosine_topk
@@ -150,7 +150,7 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output equals the oracle's brute-force pair set."""
     t = build_transcripts(spark, sf_dir)
     return (
-        minhash_pairs(t, n=3, k=128, n_bands=32, threshold=0.8)
+        minhash_pairs_fused(t, n=3, k=128, n_bands=32, threshold=0.8)
         .orderBy("conv_a", "conv_b")
     )
 

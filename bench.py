@@ -54,9 +54,9 @@ from fastq_dupaway_spark.detectors.semantic import semantic_pairs
 from fastq_dupaway_spark.detectors.hamming_exact import hamming_pairs_exact
 from fastq_dupaway_spark.detectors.minhash import (
     lsh_candidates,
-    minhash_signatures,
-    shingle_hashes,
-    verify_jaccard_pairs,
+    minhash_signatures_from_sets,
+    shingle_sets,
+    verify_jaccard_pairs_from_sets,
 )
 from fastq_dupaway_spark.detectors.parity_scan import parity_clusters
 from fastq_dupaway_spark.detectors.simhash import simhash_pairs
@@ -330,7 +330,7 @@ def main() -> None:
     ct.count()
     # prewarm the Python worker pool so the first pandas-UDF stage
     # (minhash signatures) is not charged the process-spawn cost
-    minhash_signatures(shingle_hashes(t.limit(512), 3), k=8).count()
+    minhash_signatures_from_sets(shingle_sets(t.limit(512), 3), k=8).count()
 
     timings: dict[str, float] = {}
     probes: dict[str, float] = {}  # noise probes bracketing the heavy rows
@@ -464,17 +464,20 @@ def main() -> None:
     cc_stats: dict = {}
 
     def minhash_cc():
-        # persist ONLY the shingle table (it feeds both the signature and
-        # verify stages); signatures -> banding -> verify -> components run
-        # as one DAG whose first materialization is the CC edge checkpoint
-        # — round 1 staged 5 persist+count boundaries here and their serial
-        # driver time dominated the scaling loss
-        # no sh.count(): lsh_candidates' fused materialize+size action
-        # (buckets.materialize_and_size) computes shingles -> signatures
+        # single-exchange set path (minhash.shingle_sets): ONE shuffle of
+        # shingle-sized data, the (conv_id, shs) set table persisted once
+        # and feeding the signature UDF, the banding, AND the Jaccard
+        # verify — the row-level path exchanged the full shingle data
+        # three times (distinct + collect_list + collect_set) and the
+        # distinct exchange alone was memory-bandwidth-bound (0.34
+        # 1->4-core scaling, tools/profile_minhash.py); measured 1.56x
+        # faster at local[4] x48 and bit-identical output (pytest-pinned)
+        # no sets.count(): lsh_candidates' fused materialize+size action
+        # (buckets.materialize_and_size) computes sets -> signatures
         # -> bands in ONE job that populates this cache in passing, so
         # the pandas-UDF signature stage still runs exactly once and the
         # explicit count would only add a serial job barrier
-        sh = shingle_hashes(t, 3).persist()
+        sets = shingle_sets(t, 3).persist()
         # the band self-join's input is persisted + sized inside
         # lsh_candidates (buckets.salted_self_pairs). The candidate join is then
         # materialized as its OWN action before verify+CC: folding
@@ -483,17 +486,17 @@ def main() -> None:
         # while the checkpoint materialized mid-job); staged it is
         # consistently fast — and it mirrors the checkpointed pipeline
         cands = lsh_candidates(
-            minhash_signatures(sh, 128), 16, max_bucket=MAX_BUCKET
+            minhash_signatures_from_sets(sets, 128), 16, max_bucket=MAX_BUCKET
         ).persist()
         cands.count()
-        pairs = verify_jaccard_pairs(sh, cands, 0.8).select(
+        pairs = verify_jaccard_pairs_from_sets(sets, cands, 0.8).select(
             "conv_a", "conv_b"
         ).persist()
         clusters_with_singletons(
             ct.select("conv_id"), pairs, stats=cc_stats
         ).where(F.col("conv_id") != F.col("rep_conv_id")).count()
         found_pairs["minhash"] = pairs
-        sh.unpersist()
+        sets.unpersist()
         cands.unpersist()
         print(f"# cc_rounds: {cc_stats.get('cc_rounds')}", file=sys.stderr)
 

@@ -72,6 +72,46 @@ def shingle_hashes(transcripts: DataFrame, n: int = 3) -> DataFrame:
     ).distinct()
 
 
+def shingle_sets(transcripts: DataFrame, n: int = 3) -> DataFrame:
+    """(conv_id, shs array<bigint>): per-conversation DEDUPED shingle-hash
+    sets in ONE shuffle — the single-exchange reformulation of
+    shingle_hashes().distinct() + the two downstream aggregations.
+
+    The row-level pipeline (shingle_hashes -> distinct -> groupBy
+    collect_list for signatures -> groupBy collect_set for the verify)
+    exchanges the full shingle data THREE times; profiling at x48 showed
+    the distinct exchange is memory-bandwidth-bound and scales at ~0.34
+    from 1 to 4 cores on one box (tools/profile_minhash.py). Here the
+    explode feeds collect_set directly: dedup rides the aggregation's
+    map-side partial merge, and the resulting set table serves BOTH the
+    signature UDF (minhash_signatures_from_sets) and the Jaccard verify
+    (verify_jaccard_pairs_from_sets) with no further shingle-sized
+    exchange. MinHash is duplicate-invariant and the verify is
+    set-valued, so results are bit-identical to the row-level path
+    (pytest-pinned)."""
+    toks = transcripts.select(
+        "conv_id",
+        F.split(F.col("text"), " ").alias("toks"),
+    )
+    grams = toks.select(
+        "conv_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+                ),
+            ).otherwise(F.array(F.array_join("toks", " ")))
+        ).alias("shingle"),
+    )
+    return (
+        grams.select("conv_id", F.xxhash64("shingle").alias("sh"))
+        .groupBy("conv_id")
+        .agg(F.collect_set("sh").alias("shs"))
+    )
+
+
 def _perm_coeffs(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """Odd multipliers + offsets for multiply-shift hashing mod 2^64 —
     wraparound arithmetic keeps the kernel a single vectorized numpy
@@ -110,6 +150,35 @@ def minhash_signatures(
         return pd.Series([row.tolist() for row in out])
 
     sets = shingles.groupBy("conv_id").agg(F.collect_list("sh").alias("shs"))
+    return sets.select("conv_id", sig_udf(F.col("shs")).alias("sig"))
+
+
+def minhash_signatures_from_sets(
+    sets: DataFrame, k: int = 128, seed: int = 42
+) -> DataFrame:
+    """(conv_id, sig) from a pre-aggregated (conv_id, shs) set table
+    (shingle_sets) — NO shuffle: the signature kernel is a narrow map
+    over the set rows (same flattened-batch reduceat UDF as
+    minhash_signatures, which owns the kernel docstring)."""
+    a, b = _perm_coeffs(k, seed)
+
+    @F.pandas_udf("array<bigint>")
+    def sig_udf(shs: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(x) for x in shs), dtype=np.int64, count=len(shs))
+        if lens.sum() == 0:
+            return pd.Series([[0] * k] * len(shs))
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in shs]).astype(
+            np.uint64
+        )
+        offsets = np.zeros(len(shs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        sigs = np.empty((k, len(shs)), dtype=np.uint64)
+        for i in range(k):
+            vals = a[i] * flat + b[i]
+            sigs[i] = np.minimum.reduceat(vals, offsets)
+        out = sigs.T.astype(np.int64)
+        return pd.Series([row.tolist() for row in out])
+
     return sets.select("conv_id", sig_udf(F.col("shs")).alias("sig"))
 
 
@@ -194,6 +263,59 @@ def verify_jaccard_pairs(
     )
 
 
+def verify_jaccard_pairs_from_sets(
+    sets: DataFrame,
+    candidates: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard verify against a pre-aggregated (conv_id, shs) set
+    table — no aggregation here at all; callers persist/checkpoint the
+    set table once and it feeds both candidate-join sides (and the
+    signature stage). Same JVM array_intersect/array_union kernel as
+    verify_jaccard_pairs."""
+    a = sets.select(F.col("conv_id").alias("conv_a"), F.col("shs").alias("shs_a"))
+    b = sets.select(F.col("conv_id").alias("conv_b"), F.col("shs").alias("shs_b"))
+    joined = candidates.join(a, "conv_a").join(b, "conv_b")
+    inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
+    union = F.size(F.array_union("shs_a", "shs_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("conv_a", "conv_b", "jaccard")
+    )
+
+
+def minhash_pairs_fused(
+    transcripts: DataFrame,
+    n: int = 3,
+    k: int = 128,
+    n_bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 2000,
+    seed: int = 42,
+    materialize: bool = True,
+) -> DataFrame:
+    """End-to-end MinHash LSH on the single-exchange set path: ONE
+    shuffle of shingle-sized data (shingle_sets' groupBy collect_set),
+    persisted once, feeding signatures (narrow map), banding, and the
+    Jaccard verify. Output identical to minhash_pairs at the same
+    config (pytest-pinned); 100 TB rationale in shingle_sets.
+
+    materialize (default): persist + eagerly populate the set table —
+    it feeds three downstream consumers; without it the collect_set
+    aggregation recomputes per consumer."""
+    if k % n_bands:
+        raise ValueError(f"k={k} must be a multiple of n_bands={n_bands}")
+    sets = shingle_sets(transcripts, n)
+    if materialize:
+        sets = sets.persist()
+    sigs = minhash_signatures_from_sets(sets, k, seed)
+    cands = lsh_candidates(sigs, n_bands, max_bucket)
+    return verify_jaccard_pairs_from_sets(sets, cands, threshold).select(
+        "conv_a", "conv_b"
+    )
+
+
 def minhash_pairs(
     transcripts: DataFrame,
     n: int = 3,
@@ -203,11 +325,14 @@ def minhash_pairs(
     max_bucket: int = 2000,
     seed: int = 42,
 ) -> DataFrame:
-    """End-to-end: shingles -> signatures -> LSH -> exact-Jaccard verify.
+    """End-to-end on the ROW-LEVEL path: shingles -> signatures -> LSH ->
+    exact-Jaccard verify. Kept as the reference formulation and parity
+    pin for minhash_pairs_fused (bit-identical output) — production
+    callers (pipeline, bench, incremental) use the single-exchange set
+    path, which shuffles shingle-sized data once instead of three times.
 
     Lazy composition; the shingle table feeds BOTH the signature stage and
-    the verify stage, so callers should materialize the shingle table —
-    the checkpointed pipeline and bench.py both do."""
+    the verify stage, so callers should materialize the shingle table."""
     if k % n_bands:
         raise ValueError(f"k={k} must be a multiple of n_bands={n_bands}")
     sh = shingle_hashes(transcripts, n)

@@ -26,8 +26,9 @@ with the corpus's existing clusters):
   salted_self_pairs), then the exact-Jaccard verify restricted to
   candidate conversations only — the full-corpus verify aggregates
   shingle sets for EVERY conversation; the incremental verify semi-joins
-  the shingle table down to candidate ids first, so corpus-side work is
-  proportional to the delta's neighborhood, not the corpus.
+  the (conv_id, shs) set table down to candidate ids first, so
+  corpus-side work is proportional to the delta's neighborhood, not the
+  corpus.
 
 Both carry the broadcast/shuffled-hash two-tier scale story of the
 containment needle pushdown (containment._needle_key_semi_join):
@@ -49,9 +50,9 @@ from .detectors.buckets import (
 )
 from .detectors.minhash import (
     _banded,
-    minhash_signatures,
-    shingle_hashes,
-    verify_jaccard_pairs,
+    minhash_signatures_from_sets,
+    shingle_sets,
+    verify_jaccard_pairs_from_sets,
 )
 
 #: deterministic engine-portable corpus/delta split used by tests,
@@ -139,14 +140,14 @@ def minhash_incremental_pairs(
     threshold: float = 0.8,
     max_bucket: int = 2000,
     seed: int = 42,
-    corpus_shingles: DataFrame | None = None,
+    corpus_sets: DataFrame | None = None,
     corpus_minhash_signatures: DataFrame | None = None,
     broadcast_delta: bool = True,
 ) -> DataFrame:
     """Verified Jaccard pairs TOUCHING the delta: (corpus x delta) cross
     pairs plus within-delta pairs, (conv_a, conv_b) with conv_a < conv_b.
-    Same (n, k, n_bands, threshold, seed) config as minhash_pairs — run
-    it with the config of the corpus's original full pass.
+    Same (n, k, n_bands, threshold, seed) config as minhash_pairs_fused —
+    run it with the config of the corpus's original full pass.
 
     Plan shape (the 100 TB path): the corpus band table — ideally
     restored from the checkpointed signatures stage of the original run
@@ -154,26 +155,29 @@ def minhash_incremental_pairs(
     (buckets.materialize_and_size) and probed by the replicated delta
     bands (salted_cross_pairs: broadcast by default, shuffled-hash
     beyond the delta-broadcast envelope). The delta band table is sized
-    once and reused for both the cross probe and its own self-join. The
-    Jaccard verify aggregates shingle sets ONLY for conversations that
-    appear in a candidate pair (semi-join pushdown), so no corpus-wide
-    collect_set ever runs.
+    once and reused for both the cross probe and its own self-join.
+    Shingle data rides the single-exchange set path (shingle_sets; pass
+    the checkpointed minhash_shingle_sets stage table as corpus_sets to
+    skip even that), and the Jaccard verify reads set rows ONLY for
+    conversations that appear in a candidate pair (semi-join pushdown),
+    so no corpus-wide aggregation or shingle-sized exchange ever runs.
     """
     if k % n_bands:
         raise ValueError(f"k={k} must be a multiple of n_bands={n_bands}")
-    sh_d = shingle_hashes(delta, n).persist()
+    sets_d = shingle_sets(delta, n).persist()
     bands_d, hot_d = materialize_and_size(
-        _banded(minhash_signatures(sh_d, k, seed), n_bands),
+        _banded(minhash_signatures_from_sets(sets_d, k, seed), n_bands),
         ["band_id", "band_key"],
         max_bucket,
     )
-    if corpus_shingles is None:
+    if corpus_sets is None:
         if corpus is None:
-            raise ValueError("need corpus or corpus_shingles")
-        corpus_shingles = shingle_hashes(corpus, n)
-    corpus_shingles = corpus_shingles.persist()
+            raise ValueError("need corpus or corpus_sets")
+        corpus_sets = shingle_sets(corpus, n)
     if corpus_minhash_signatures is None:
-        corpus_minhash_signatures = minhash_signatures(corpus_shingles, k, seed)
+        corpus_minhash_signatures = minhash_signatures_from_sets(
+            corpus_sets, k, seed
+        )
     bands_c = _banded(corpus_minhash_signatures, n_bands)
     cross = salted_cross_pairs(
         bands_c,
@@ -201,7 +205,7 @@ def minhash_incremental_pairs(
         .distinct()
     )
     ids = F.broadcast(ids) if broadcast_delta else ids.hint("shuffle_hash")
-    sh_needed = corpus_shingles.union(sh_d).join(ids, "conv_id", "left_semi")
-    return verify_jaccard_pairs(sh_needed, cands, threshold).select(
+    sets_needed = corpus_sets.union(sets_d).join(ids, "conv_id", "left_semi")
+    return verify_jaccard_pairs_from_sets(sets_needed, cands, threshold).select(
         "conv_a", "conv_b"
     )

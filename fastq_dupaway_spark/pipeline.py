@@ -33,10 +33,10 @@ from .detectors.hamming_exact import (
 from .detectors.minhash import (
     lsh_candidates,
     lsh_hot_buckets,
-    minhash_pairs,
-    minhash_signatures,
-    shingle_hashes,
-    verify_jaccard_pairs,
+    minhash_pairs_fused,
+    minhash_signatures_from_sets,
+    shingle_sets,
+    verify_jaccard_pairs_from_sets,
 )
 from .detectors.parity_scan import parity_clusters
 from .detectors.simhash import (
@@ -353,7 +353,7 @@ def run_pipeline(
         if config.minhash:
             if store is None:
                 pair_sets.append(
-                    minhash_pairs(
+                    minhash_pairs_fused(
                         transcripts,
                         n=config.shingle_n,
                         k=config.minhash_k,
@@ -365,15 +365,19 @@ def run_pipeline(
                 )
             else:
                 # the north rule's stage list verbatim: signatures, bands
-                # (candidates), pairs — each its own resumable checkpoint
-                sh = stage(
-                    "minhash_shingles",
-                    lambda: shingle_hashes(transcripts, config.shingle_n),
+                # (candidates), pairs — each its own resumable checkpoint.
+                # Single-exchange set path (minhash.shingle_sets): the
+                # checkpointed set table replaces the shingle-row table
+                # and feeds signatures AND the verify with no further
+                # shingle-sized exchange.
+                sets = stage(
+                    "minhash_shingle_sets",
+                    lambda: shingle_sets(transcripts, config.shingle_n),
                 )
                 sigs = stage(
                     "minhash_signatures",
-                    lambda: minhash_signatures(
-                        sh, config.minhash_k, config.seed
+                    lambda: minhash_signatures_from_sets(
+                        sets, config.minhash_k, config.seed
                     ),
                 )
                 stage(
@@ -391,8 +395,8 @@ def run_pipeline(
                 pair_sets.append(
                     stage(
                         "minhash_pairs",
-                        lambda: verify_jaccard_pairs(
-                            sh, mc, config.jaccard_threshold
+                        lambda: verify_jaccard_pairs_from_sets(
+                            sets, mc, config.jaccard_threshold
                         ).select("conv_a", "conv_b"),
                     )
                 )

@@ -116,6 +116,25 @@ def test_minhash_matches_brute_force_jaccard(spark, gen_corpus):
     assert len(want) > 10
 
 
+def test_minhash_fused_set_path_identical(spark, gen_corpus):
+    """The single-exchange set path (shingle_sets -> signatures_from_sets
+    -> verify_from_sets) must emit the EXACT pair relation of the
+    row-level path at the same config: MinHash is duplicate-invariant and
+    the verify is set-valued, so the three-exchange pipeline and the
+    one-exchange pipeline are semantically the same operator."""
+    from fastq_dupaway_spark.detectors.minhash import minhash_pairs_fused
+
+    t = corpus.conv_df(spark, gen_corpus)
+    for n_bands, thr in ((32, 0.8), (16, 0.5)):
+        row = _spark_pairs(
+            minhash_pairs(t, n=3, k=128, n_bands=n_bands, threshold=thr)
+        )
+        fused = _spark_pairs(
+            minhash_pairs_fused(t, n=3, k=128, n_bands=n_bands, threshold=thr)
+        )
+        assert fused == row
+
+
 def test_minhash_hot_bucket_salting(spark):
     """Hot-bucket policy (buckets.py): a boilerplate text shared by many
     conversations is salted into bounded sub-buckets — candidate volume

@@ -173,7 +173,10 @@ def minhash_incremental_pairs(
     if corpus_sets is None:
         if corpus is None:
             raise ValueError("need corpus or corpus_sets")
-        corpus_sets = shingle_sets(corpus, n)
+        # persisted: consumed by the signature stage AND the verify's
+        # semi-join below; a checkpointed stage table passed in needs no
+        # cache (it is already materialized storage)
+        corpus_sets = shingle_sets(corpus, n).persist()
     if corpus_minhash_signatures is None:
         corpus_minhash_signatures = minhash_signatures_from_sets(
             corpus_sets, k, seed
@@ -197,15 +200,24 @@ def minhash_incremental_pairs(
     )
     # disjoint by construction (cross pairs have exactly one corpus
     # member, within pairs none; each side is already distinct) — a
-    # union-wide distinct would only add an exchange on the pair table
-    cands = cross.union(within)
+    # union-wide distinct would only add an exchange on the pair table.
+    # persisted: consumed by the candidate-id derivation (twice, via the
+    # union) and the verify join
+    cands = cross.union(within).persist()
     ids = (
         cands.select(F.col("conv_a").alias("conv_id"))
         .union(cands.select(F.col("conv_b").alias("conv_id")))
         .distinct()
     )
     ids = F.broadcast(ids) if broadcast_delta else ids.hint("shuffle_hash")
-    sets_needed = corpus_sets.union(sets_d).join(ids, "conv_id", "left_semi")
+    # localCheckpoint (eager, same role as verify_jaccard_pairs'
+    # materialize flag): the pruned set table feeds BOTH candidate-join
+    # sides — without it each side re-scans the corpus set table
+    sets_needed = (
+        corpus_sets.union(sets_d)
+        .join(ids, "conv_id", "left_semi")
+        .localCheckpoint()
+    )
     return verify_jaccard_pairs_from_sets(sets_needed, cands, threshold).select(
         "conv_a", "conv_b"
     )

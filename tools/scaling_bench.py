@@ -90,6 +90,12 @@ def main() -> None:
     t_low, t_high = low["value"], high["value"]
     efficiency = round((t_low / t_high) / 4, 3)
     best_same_window = max(r["efficiency"] for r in rep_rows)
+    # The criterion-proper number: both legs from ONE uninterrupted
+    # interleaved rep (same time window), neither leg probe-flagged.
+    # The per-level-minimum composite above can pair legs from different
+    # windows — exactly the compositing the round-4 verdict rejected.
+    clean = [r for r in rep_rows if not r["noise_suspected"]]
+    best_clean_same_window = max((r["efficiency"] for r in clean), default=None)
     result = {
         "metric": "scaling_efficiency_n_to_4n",
         "value": efficiency,
@@ -98,6 +104,7 @@ def main() -> None:
         "t_n_sec": t_low,
         "t_4n_sec": t_high,
         "best_same_window_efficiency": best_same_window,
+        "best_clean_same_window_efficiency": best_clean_same_window,
         "reps": rep_rows,
         "throughput_n_turns_per_sec": low["turns_per_sec"],
         "throughput_4n_turns_per_sec": high["turns_per_sec"],
@@ -121,7 +128,22 @@ def main() -> None:
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
+    # Always persist the full campaign record — a campaign is ~hours of
+    # measurement and must never live only on stdout (one already did).
+    (bench_dir / "scaling_last_campaign.json").write_text(
+        json.dumps(result, indent=1) + "\n"
+    )
     md = bench_dir / "BASELINE.md"
+    # Preserve the hand-written narrative across overwrites: everything
+    # from the first "## Evidence narrative" heading onward is carried
+    # over verbatim (it documents protocol + history, not this run).
+    narrative = ""
+    if md.exists():
+        prior = md.read_text()
+        idx = prior.find("## Evidence narrative")
+        if idx != -1:
+            narrative = "\n" + prior[idx:]
+    bcsw = best_clean_same_window
     lines = [
         "# BENCH/BASELINE — measured throughput + scaling efficiency",
         "",
@@ -135,24 +157,33 @@ def main() -> None:
         f"  replicas = {low['turns']} turns / {low['convs']} conversations",
         f"- suite: {', '.join(low['queries'])}",
         "",
+        "**Criterion measurement — best noise-clean SAME-WINDOW rep pair**",
+        "(both legs from one uninterrupted interleaved rep, neither leg",
+        "probe-flagged; see noise protocol below): "
+        + (
+            f"**{bcsw}**"
+            + ("  (target >= 0.8: MET)" if bcsw >= 0.8 else "  (target >= 0.8: NOT met)")
+            if bcsw is not None
+            else "**n/a — every rep probe-flagged; re-run in a clean window**"
+        ),
+        "",
+        "| rep | T_N (s) | T_4N (s) | same-window efficiency | probe ratios N/4N | noise flagged |",
+        "|---|---|---|---|---|---|",
+        *[
+            f"| {r['rep']} | {r['t_n_sec']} | {r['t_4n_sec']} | {r['efficiency']} "
+            f"| {r['noise_ratio_n']} / {r['noise_ratio_4n']} | {r['noise_suspected']} |"
+            for r in rep_rows
+        ],
+        "",
+        "Per-level minima (legs may come from DIFFERENT reps/windows —",
+        "reference only, not criterion evidence):",
+        "",
         "| parallelism | suite wall (s) | turns/sec |",
         "|---|---|---|",
         f"| local[{n}] | {t_low} | {low['turns_per_sec']} |",
         f"| local[{4 * n}] | {t_high} | {high['turns_per_sec']} |",
         "",
-        f"**Scaling efficiency (T_N / T_4N) / 4 = {efficiency}**"
-        + ("  (target >= 0.8: MET)" if efficiency >= 0.8 else "  (target >= 0.8: NOT met)"),
-        "",
-        f"Best SAME-WINDOW rep pair (both legs from one interleaved rep): "
-        f"**{best_same_window}**"
-        + ("  (>= 0.8)" if best_same_window >= 0.8 else "  (< 0.8)"),
-        "",
-        "| rep | T_N (s) | T_4N (s) | same-window efficiency |",
-        "|---|---|---|---|",
-        *[
-            f"| {r['rep']} | {r['t_n_sec']} | {r['t_4n_sec']} | {r['efficiency']} |"
-            for r in rep_rows
-        ],
+        f"Cross-window composite (T_N_min / T_4N_min) / 4 = {efficiency}",
         "",
         f"**Dup-pair recall at bench scale** (BASELINE.json headline, target >= 0.99):",
         f"- vs planted derivation relations: {high.get('recall_planted')}",
@@ -167,7 +198,7 @@ def main() -> None:
     ]
     for q in low["queries"]:
         lines.append(f"| {q} | {low['queries'][q]} | {high['queries'][q]} |")
-    md.write_text("\n".join(lines) + "\n")
+    md.write_text("\n".join(lines) + "\n" + narrative)
 
 
 if __name__ == "__main__":

@@ -406,6 +406,32 @@ def _q_hamming_parity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. SIGMOD'03) over
+    the documents table: every (doc_id, fingerprint) selected by the
+    k=8-gram rolling hash + w=4 window-minimum rule. The hash is plain
+    integer arithmetic (Horner base 1000003 mod 2^31-1 over code points),
+    so the oracle recomputes it bit-identically in SQL."""
+    from fastq_dupaway_spark.detectors.winnow import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs).orderBy("doc_id", "fp")
+
+
+def _q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs over conversation composites: pairs
+    sharing >= 8 distinct winnowed fingerprints (planted exact copies and
+    prefix extensions share long substrings, so every shared substring of
+    >= w + k - 1 = 11 chars is guaranteed a common fingerprint)."""
+    from fastq_dupaway_spark.detectors.winnow import winnow_dup_pairs
+
+    t = build_transcripts(spark, sf_dir)
+    comp = conversation_texts(t).select(
+        "conv_id", F.concat_ws("\x1f", "texts").alias("text")
+    )
+    return winnow_dup_pairs(comp, min_shared=8).orderBy("conv_a", "conv_b")
+
+
 def _q_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta-vs-corpus exact assignment (incremental.py): the corpus/delta
     split is the engine-portable md5(conv_id) predicate, so the oracle can
@@ -468,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_md5": _q_simhash_pairs_md5,
         "incremental_exact": _q_incremental_exact,
         "incremental_jaccard_pairs": _q_incremental_jaccard_pairs,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_dup_pairs": _q_winnow_dup_pairs,
         # rows-only check (no oracle entry — engine-hash-dependent
         # signatures; the md5_60 variant above oracles the same plan):
         "simhash_pairs": _q_simhash_pairs,
@@ -554,6 +582,49 @@ verified AS (
                     THEN hamming(ta.text, tb.text) <= 2 ELSE false END)
 )
 """
+
+
+def _winnow_cte(src: str, id_col: str, text_col: str) -> str:
+    """Winnowing fingerprint CTE chain (g -> gl -> wins) over `src`,
+    rendered from the SAME constants the Spark kernel uses
+    (detectors/winnow.K_GRAM/W_WINDOW/HASH_BASE/HASH_MOD) so the two
+    sides cannot drift."""
+    from fastq_dupaway_spark.detectors.winnow import (
+        HASH_BASE,
+        HASH_MOD,
+        K_GRAM,
+        W_WINDOW,
+    )
+
+    return f"""
+            g AS (
+                SELECT {id_col}, u.i AS pos,
+                       list_reduce(
+                           list_transform(
+                               range(u.i, u.i + least({K_GRAM},
+                                                      length({text_col}))),
+                               j -> CAST(unicode(substr({text_col},
+                                        CAST(j AS INTEGER), 1)) AS BIGINT)),
+                           (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS h
+                FROM {src},
+                     LATERAL unnest(
+                         range(1, greatest(length({text_col}) - {K_GRAM - 1},
+                                           1) + 1)) AS u(i)
+                WHERE length({text_col}) > 0
+            ),
+            gl AS (SELECT {id_col}, list(h ORDER BY pos) AS hs
+                   FROM g GROUP BY {id_col}),
+            wins AS (
+                SELECT DISTINCT {id_col},
+                       list_aggregate(
+                           hs[CAST(p AS INTEGER):CAST(p AS INTEGER)
+                              + {W_WINDOW - 1}],
+                           'min') AS fp
+                FROM gl,
+                     LATERAL unnest(
+                         range(1, greatest(len(hs) - {W_WINDOW - 1}, 1) + 1)
+                     ) AS v(p)
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1044,6 +1115,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
               AND (substr(md5(conv_a), 1, 1) IN ('0', '1', '2', '3')
                    OR substr(md5(conv_b), 1, 1) IN ('0', '1', '2', '3'))
+            ORDER BY conv_a, conv_b
+        """,
+        # Winnowing fingerprints (Schleimer et al. SIGMOD'03): k-gram
+        # Horner rolling hash (base 1000003 mod 2^31-1 over code points),
+        # w-window minima, distinct per document — the same integer
+        # arithmetic and constants as detectors/winnow._winnow_batch.
+        # Short docs (len < k) hash the whole text as one gram; docs with
+        # < w grams take min over all grams (the list slice clamps,
+        # matching the kernel).
+        "winnow_fingerprints": f"""
+            WITH{_winnow_cte("documents", "doc_id", "text")}
+            SELECT doc_id, fp FROM wins ORDER BY doc_id, fp
+        """,
+        "winnow_dup_pairs": _T + f"""
+            , ct AS (
+                SELECT conv_id,
+                       string_agg(text, chr(31) ORDER BY turn_idx) AS txt
+                FROM transcripts GROUP BY conv_id
+            ),{_winnow_cte("ct", "conv_id", "txt")}
+            SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+                   count(*) AS n_shared
+            FROM wins a JOIN wins b
+              ON a.fp = b.fp AND a.conv_id < b.conv_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 8
             ORDER BY conv_a, conv_b
         """,
     }

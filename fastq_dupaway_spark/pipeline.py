@@ -82,6 +82,17 @@ class DedupConfig:
     # hashing-trick vectors from the text itself (functions/embed.py)
     semantic: bool = False
     semantic_embedder: str = "external"  # "external" | "feature_hash"
+    # winnowing fingerprint detector (Schleimer et al. SIGMOD'03,
+    # detectors/winnow.py): conversations sharing >= winnow_min_shared
+    # rolling-hash fingerprints over the turn-composite text
+    winnow: bool = False
+    winnow_k: int = 16
+    winnow_w: int = 8
+    winnow_min_shared: int = 8
+    # document-frequency cap: fingerprints in more than this many
+    # conversations (boilerplate) are excluded from pair generation and
+    # surfaced via the winnow_hot_fingerprints stage; None = uncapped
+    winnow_max_df: int | None = 2000
     # parity_mode: None | 'tight' | 'loose' | 'hamming' — run the
     # reference-run-semantics scan INSTEAD of transitive detectors
     parity_mode: str | None = None
@@ -284,6 +295,54 @@ def run_pipeline(
                     ),
                 )
             )
+        if config.winnow:
+            from .detectors.winnow import (
+                winnow_dup_pairs,
+                winnow_fingerprints,
+                winnow_hot_fingerprints,
+                winnow_pairs_from_fingerprints,
+            )
+
+            comp = ct.select(
+                "conv_id", F.concat_ws("\x1f", "texts").alias("text")
+            )
+            if store is None:
+                pair_sets.append(
+                    winnow_dup_pairs(
+                        comp,
+                        k=config.winnow_k,
+                        w=config.winnow_w,
+                        min_shared=config.winnow_min_shared,
+                        max_df=config.winnow_max_df,
+                    ).select("conv_a", "conv_b")
+                )
+            else:
+                wf = stage(
+                    "winnow_fingerprints",
+                    lambda: winnow_fingerprints(
+                        comp, "conv_id", "text", config.winnow_k,
+                        config.winnow_w,
+                    ),
+                )
+                if config.winnow_max_df is not None:
+                    # boilerplate quarantine surface (the fingerprints
+                    # excluded from pair generation, with their df)
+                    stage(
+                        "winnow_hot_fingerprints",
+                        lambda: winnow_hot_fingerprints(
+                            wf, config.winnow_max_df
+                        ),
+                    )
+                pair_sets.append(
+                    stage(
+                        "winnow_pairs",
+                        lambda: winnow_pairs_from_fingerprints(
+                            wf,
+                            min_shared=config.winnow_min_shared,
+                            max_df=config.winnow_max_df,
+                        ).select("conv_a", "conv_b"),
+                    )
+                )
         if config.simhash:
 
             def _sims():

@@ -48,7 +48,7 @@ def parse_args(argv=None) -> argparse.Namespace:
         "--detectors",
         default="exact",
         help="comma list: exact,hamming,simhash,minhash,containment,"
-        "char_containment,semantic",
+        "char_containment,semantic,winnow",
     )
     p.add_argument(
         "--embeddings",
@@ -98,7 +98,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     dets = {d.strip() for d in args.detectors.split(",") if d.strip()}
     unknown = dets - {
         "exact", "hamming", "simhash", "minhash", "containment",
-        "char_containment", "semantic",
+        "char_containment", "semantic", "winnow",
     }
     if unknown:
         p.error(f"unknown detectors: {sorted(unknown)}")
@@ -133,6 +133,7 @@ def main(argv=None) -> None:
         containment="containment" in dets,
         char_containment="char_containment" in dets,
         semantic="semantic" in dets,
+        winnow="winnow" in dets,
         semantic_embedder=(
             "feature_hash" if args.embeddings == "auto" else "external"
         ),

@@ -335,6 +335,23 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN at full probe: spherical-k-means cell
+    assignment + per-query cell probing + exact kernel scoring. With
+    nprobe == n_cells the result provably equals brute-force top-k (every
+    vector is a candidate exactly once), so the brute-force SQL oracle
+    certifies the entire train/assign/probe/cell-join machinery; the
+    recall/cost trade-off at nprobe < n_cells is pytest-measured
+    (tests/test_functions.py)."""
+    from fastq_dupaway_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    return ivf_topk(emb, queries, k=8, n_cells=8, nprobe=8).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _q_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via the REAL pipeline detector
     (hyperplane LSH buckets -> salted candidates -> exact cosine verify).
@@ -486,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "lang_guess": _q_lang_guess,
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "semantic_pairs": _q_semantic_pairs,
         "media_dedup": _q_media_dedup,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -975,6 +993,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, rank, sim FROM ranked
             WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "ann_topk_ivf": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            c AS (
+                SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 4) AS sim
+                FROM q, c WHERE neighbor_id != query_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id)
+                           AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank, sim FROM ranked
+            WHERE rank <= 8 ORDER BY query_id, rank
         """,
         "semantic_pairs": """
             WITH base AS (

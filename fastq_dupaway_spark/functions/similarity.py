@@ -3,10 +3,12 @@
 Brute-force cosine top-k as the exact baseline (SQL zip_with dot products
 for the small broadcast-join top-k paths; a vectorized Arrow/pandas-UDF
 einsum kernel, `pairwise_cosine`, for the high-volume candidate-verify
-path) and an LSH-bucketed variant as the scale path: random-hyperplane
-signatures shrink the candidate set from N to a bucket, the exact kernel
-then scores only candidates. At 100 TB the broadcast side is the (small)
-query set; the corpus is scanned once.
+path) and two approximate scale paths that shrink the candidate set
+before the exact kernel scores it: an LSH-bucketed variant
+(random-hyperplane signatures -> bucket join) and an IVF variant
+(spherical k-means coarse quantizer -> nprobe cell probing, the
+FAISS-style inverted-file layout). At 100 TB the broadcast side is the
+(small) query set; the corpus is scanned once.
 """
 
 from __future__ import annotations
@@ -157,6 +159,158 @@ def hyperplane_signatures(
 
     return vectors.withColumn(
         "bucket", F.explode(buckets(F.col(vec_col)))
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer: (n_cells, dim) UNIT centroids.
+
+    Training is a bounded driver-side step, by design: the sample is a
+    deterministic hash-ranked top-`sample` of the corpus (TakeOrdered —
+    one scan, no full sort), so the collect is O(sample * dim) regardless
+    of corpus size, and the same sample (hence the same centroids) comes
+    back at any parallelism. Lloyd iterations run in numpy on the driver:
+    assign by max dot against unit centroids, re-center as the mean of
+    the cell, re-normalize; an emptied cell keeps its previous centroid.
+    Zero-norm vectors are excluded from training (they score NULL
+    downstream anyway)."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("v"), F.col(id_col).alias("i"))
+        .where(F.col("v").isNotNull() & (F.size("v") == dim))
+        .orderBy(F.xxhash64(F.col("i")))
+        .limit(sample)
+        .collect()
+    )
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    mat = mat[norms > 0] / norms[norms > 0, None]
+    if mat.shape[0] < n_cells:
+        raise ValueError(
+            f"IVF training needs >= n_cells={n_cells} non-zero vectors, "
+            f"got {mat.shape[0]} (raise `sample` or lower `n_cells`)"
+        )
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(mat.shape[0], n_cells, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if members.shape[0]:
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    centroids[c] = m / n
+    return centroids
+
+
+def _nearest_cells_udf(centroids: np.ndarray, nprobe: int, dim: int):
+    """pandas UDF: the `nprobe` nearest cell ids (by dot against unit
+    centroids — cosine order for any input scale) per vector."""
+    cents = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vs: pd.Series) -> pd.Series:
+        arr = vs.to_numpy()
+        bad = {(-1 if v is None else len(v)) for v in arr} - {dim}
+        if bad:
+            raise ValueError(
+                f"embedding dim mismatch: IVF centroids built for "
+                f"dim={dim}, got vectors of dim {sorted(bad)} (-1 = NULL; "
+                "NULL rows must be filtered by the caller)"
+            )
+        mat = np.stack(arr).astype(np.float64, copy=False)
+        dots = mat @ cents.T  # (batch, n_cells)
+        if nprobe == 1:
+            top = np.argmax(dots, axis=1)[:, None]
+        else:
+            part = np.argpartition(-dots, nprobe - 1, axis=1)[:, :nprobe]
+            order = np.argsort(
+                -np.take_along_axis(dots, part, axis=1), axis=1
+            )
+            top = np.take_along_axis(part, order, axis=1)
+        return pd.Series([row.tolist() for row in top])
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    sample: int = 4096,
+    iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer: corpus vectors are
+    assigned to their nearest k-means cell (ONE narrow map over the
+    corpus — the inverted file); each query probes its `nprobe` nearest
+    cells and the exact kernel scores only the vectors in those cells,
+    i.e. an expected nprobe/n_cells fraction of the corpus. The cell join
+    broadcasts the (queries x nprobe) probe side; there is no self-join,
+    so a skewed cell costs cell_size x probes-of-that-cell, linear.
+
+    EXACTNESS PIN: with nprobe == n_cells every vector is a candidate
+    and the result equals cosine_topk bit-for-bit (same rounded-sim
+    ranking, same tie-break) — pytest-pinned; recall at nprobe < n_cells
+    is the measured trade-off.
+
+    centroids: pass a pre-trained (n_cells, dim) array to skip training
+    (e.g. reuse across daily batches); default trains on a deterministic
+    hash-ranked sample (train_ivf_centroids)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells, dim, sample, iters, seed, id_col, vec_col
+        )
+    n_cells = centroids.shape[0]
+    nprobe = min(nprobe, n_cells)
+    assign1 = _nearest_cells_udf(centroids, 1, dim)
+    probe = _nearest_cells_udf(centroids, nprobe, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                F.try_divide(
+                    F.expr(_DOT.format(a="qvec", b="cvec")),
+                    F.expr(_norm("qvec")) * F.expr(_norm("cvec")),
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
     )
 
 

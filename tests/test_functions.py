@@ -6,7 +6,12 @@ from pyspark.sql import functions as F
 
 from fastq_dupaway_spark.functions import multimodal as MM
 from fastq_dupaway_spark.functions import text as TX
-from fastq_dupaway_spark.functions.similarity import cosine_topk, cosine_topk_lsh
+from fastq_dupaway_spark.functions.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    ivf_topk,
+    train_ivf_centroids,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -52,6 +57,41 @@ def test_cosine_topk_lsh_recall(spark):
     # approximate results are a subset relation on per-bucket candidates:
     # every returned neighbor shares the query's bucket, ranks are valid
     assert all(r["rank"] >= 1 for r in approx)
+
+
+def test_ivf_topk_full_probe_equals_exact(spark):
+    """EXACTNESS PIN: nprobe == n_cells scores every corpus vector, so
+    the IVF result must equal cosine_topk bit-for-bit (same rounded sims,
+    same tie-break) — independent of k-means quality."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    full = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=8).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, full), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, exact), key=lambda t: (t[0], t[2])
+    )
+    assert {key(r) for r in full} == {key(r) for r in exact}
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # near-random 64-d vectors are the HARD case for any partitioner;
+    # 6/16 cells must still beat the 6/16 = 0.375 random-cell floor
+    assert recall >= 0.5, recall
+    # training is a deterministic hash-ranked sample: same centroids at
+    # any parallelism / repetition
+    c1 = train_ivf_centroids(emb, n_cells=16, dim=64)
+    c2 = train_ivf_centroids(emb.repartition(7), n_cells=16, dim=64)
+    import numpy as np
+
+    assert np.array_equal(c1, c2)
 
 
 def test_multimodal_features_and_dedup(spark):

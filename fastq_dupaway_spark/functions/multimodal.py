@@ -123,6 +123,78 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Deterministic stand-in for the pixel resample: out_w*out_h bytes
+    tiled from the payload digest. Replace with PIL.Image.thumbnail /
+    cv2.resize in production — the surrounding plumbing (dimension math,
+    Arrow batch shape, narrow plan) is the tested part."""
+    n = out_w * out_h
+    digest = hashlib.sha256(payload).digest()
+    return (digest * (n // len(digest) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Aspect-fit image resize plumbing: target dimensions are exact JVM
+    column math (scale = min(max_w/w, max_h/h, 1) — never upscale, floor
+    to >= 1 px); the resample itself runs in a narrow mapInPandas over
+    the scan (payload bytes never shuffle) via the stubbed codec stage."""
+    imgs = (
+        media.where(
+            (F.col("kind") == "image")
+            & F.col("width").isNotNull()
+            & F.col("height").isNotNull()
+        )
+        .withColumn(
+            "scale",
+            F.least(
+                F.lit(max_w) / F.col("width"),
+                F.lit(max_h) / F.col("height"),
+                F.lit(1.0),
+            ),
+        )
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.greatest(
+                F.floor(F.col("width") * F.col("scale")).cast("int"), F.lit(1)
+            ).alias("out_width"),
+            F.greatest(
+                F.floor(F.col("height") * F.col("scale")).cast("int"),
+                F.lit(1),
+            ).alias("out_height"),
+            "payload",
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _resize_stub(p or b"", w, h)
+                for p, w, h in zip(
+                    pdf["payload"], pdf["out_width"], pdf["out_height"]
+                )
+            ]
+            yield pdf
+
+    return imgs.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 24) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded bytes)."""
     rows = []

@@ -110,6 +110,33 @@ def test_multimodal_features_and_dedup(spark):
     assert all(r["count"] == 5 for r in per)
 
 
+def test_resize_images_dims_and_narrow_plan(spark):
+    """Aspect-fit math is exact, never upscales, floors to >= 1 px; the
+    stubbed resample emits exactly out_w*out_h bytes; and the whole op is
+    shuffle-free (payloads never leave the scan stage)."""
+    media = MM.synthetic_media(spark, n=24)  # images are 64x48
+    out = MM.resize_images(media, max_w=32, max_h=32)
+    rows = out.collect()
+    assert rows and all(r["width"] == 64 and r["height"] == 48 for r in rows)
+    for r in rows:
+        # scale = min(32/64, 32/48, 1) = 0.5 -> 32x24
+        assert (r["out_width"], r["out_height"]) == (32, 24)
+        assert len(r["payload"]) == 32 * 24
+    # no upscale: targets larger than the image keep original dims
+    same = MM.resize_images(media, max_w=4096, max_h=4096).collect()
+    assert all(
+        (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+        for r in same
+    )
+    plan = (
+        MM.resize_images(media, 32, 32)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_feature_extraction_is_narrow(spark):
     """No Exchange in the physical plan: payload bytes never shuffle."""
     media = MM.synthetic_media(spark, n=6)

@@ -137,17 +137,19 @@ def _winnow_batch(texts, k: int, w: int) -> list[list[int]]:
         if total_g >= w
         else None
     )
-    doc_mins = np.minimum.reduceat(g, np.minimum(gstarts, total_g - 1))
     out: list[list[int]] = []
     for i in range(m_docs):
         mg = int(m_grams[i])
+        gs = int(gstarts[i])
         if mg == 0:
             out.append([])
         elif mg >= w:
-            gs = int(gstarts[i])
             out.append(np.unique(sw[gs : gs + mg - w + 1]).tolist())
         else:
-            out.append([int(doc_mins[i])])
+            # min over the doc's own gram slice (NOT a batch-wide
+            # reduceat: clamped segment boundaries next to a zero-gram
+            # doc would silently drop this doc's last gram)
+            out.append([int(g[gs : gs + mg].min())])
     return out
 
 

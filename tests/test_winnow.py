@@ -65,6 +65,26 @@ class TestKernel:
             assert sorted(set(fps)) == sorted(fps), "kernel must emit sets"
             assert set(fps) == winnow_ref(s), repr(s)
 
+    def test_short_gram_doc_followed_by_empty_doc(self):
+        """Regression: a doc with 2..w-1 grams immediately followed by a
+        zero-gram (empty/NULL) doc in the same batch. The original
+        batch-wide reduceat clamped the empty doc's segment boundary to
+        total_g - 1, silently dropping the short doc's LAST gram from its
+        min — wrong whenever that gram was the minimum."""
+        rng = random.Random(99)
+        cases = []
+        for ng in range(2, W_WINDOW):
+            for _ in range(50):
+                s = "".join(
+                    rng.choice("abcdefghij")
+                    for _ in range(K_GRAM + ng - 1)
+                )
+                cases += [s, ""]
+        cases += [None]
+        got = _winnow_batch(cases, K_GRAM, W_WINDOW)
+        for s, fps in zip(cases, got):
+            assert set(fps) == winnow_ref(s), repr(s)
+
     def test_shared_substring_guarantee(self):
         """The paper's guarantee: any shared substring of length
         >= w + k - 1 yields at least one shared fingerprint — regardless

@@ -264,6 +264,43 @@ def streaming_lsh_candidates(
     )
 
 
+def streaming_winnow_candidates(
+    conv_stream: DataFrame,
+    k: int | None = None,
+    w: int | None = None,
+    max_state: int = 64,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Online WINNOW near-dup candidates: stateful buckets keyed by
+    winnowed rolling-hash fingerprints over a stream of (conv_id, text,
+    ts) rows — the fingerprint analog of streaming_lsh_candidates.
+
+    Bucketing is row-local (the same flattened-batch winnow kernel as
+    batch — narrow map + explode, no aggregation, so no watermark needed
+    at this stage); per-bucket state/timeout semantics are shared via
+    _bucket_update (bounded members per fingerprint, over-cap arrivals
+    still pair + surface via bucket_n — a hot fingerprint IS streaming
+    boilerplate). A pair sharing several fingerprints is emitted once per
+    fingerprint; the batch authority (winnow_dup_pairs, same k/w) applies
+    the min_shared threshold and df-cap nightly.
+    """
+    from .detectors.winnow import K_GRAM, W_WINDOW, _winnow_udf
+
+    fps = conv_stream.select(
+        "conv_id",
+        F.explode(
+            _winnow_udf(k or K_GRAM, w or W_WINDOW)(F.col("text"))
+        ).alias("fp"),
+    )
+    return fps.groupBy("fp").applyInPandasWithState(
+        _bucket_update(max_state, timeout_minutes),
+        outputStructType=_PAIR_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
 def streaming_semantic_candidates(
     emb_stream: DataFrame,
     n_planes: int = 12,

@@ -180,6 +180,56 @@ class TestDetector:
         assert uncapped == 40 * 39 / 2  # header links everything
 
 
+def test_streaming_winnow_candidates(spark, tmp_path):
+    """Stateful winnow candidates over a file stream: a conversation
+    sharing a long substring with an EARLIER micro-batch's conversation
+    collides in its fingerprint buckets (state carries membership across
+    the batch boundary); unrelated text emits nothing."""
+    from datetime import datetime, timezone
+
+    from fastq_dupaway_spark.streaming import streaming_winnow_candidates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank today at noon"
+    )
+    schema = "conv_id string, text string, ts timestamp"
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    spark.createDataFrame([("a1", base, ts)], schema).write.parquet(
+        str(src / "f1.parquet")
+    )
+    spark.createDataFrame(
+        [
+            ("a2", base + " with an extra tail", ts),
+            ("zz", "completely different words about spark shuffles "
+                   "and parquet file compaction strategies", ts),
+        ],
+        schema,
+    ).write.parquet(str(src / "f2.parquet"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        streaming_winnow_candidates(stream)
+        .writeStream.format("memory")
+        .queryName("winnow_cands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_a"], r["conv_b"])
+        for r in spark.sql("select * from winnow_cands").collect()
+    }
+    assert got == {("a1", "a2")}
+
+
 class TestPipeline:
     def test_winnow_detector_clusters_planted_dups(
         self, spark, winnow_docs, tmp_path

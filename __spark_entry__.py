@@ -426,9 +426,10 @@ def _q_hamming_parity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer et al. SIGMOD'03) over
     the documents table: every (doc_id, fingerprint) selected by the
-    k=8-gram rolling hash + w=4 window-minimum rule. The hash is plain
-    integer arithmetic (Horner base 1000003 mod 2^31-1 over code points),
-    so the oracle recomputes it bit-identically in SQL."""
+    k-gram rolling hash + w-window-minimum rule (k/w from
+    detectors/winnow: K_GRAM=16, W_WINDOW=8). The hash is plain integer
+    arithmetic (Horner base 1000003 mod 2^31-1 over code points), so the
+    oracle recomputes it bit-identically in SQL."""
     from fastq_dupaway_spark.detectors.winnow import winnow_fingerprints
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -439,7 +440,8 @@ def _q_winnow_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing near-dup pairs over conversation composites: pairs
     sharing >= 8 distinct winnowed fingerprints (planted exact copies and
     prefix extensions share long substrings, so every shared substring of
-    >= w + k - 1 = 11 chars is guaranteed a common fingerprint)."""
+    >= W_WINDOW + K_GRAM - 1 = 23 chars is guaranteed a common
+    fingerprint)."""
     from fastq_dupaway_spark.detectors.winnow import winnow_dup_pairs
 
     t = build_transcripts(spark, sf_dir)

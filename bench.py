@@ -562,10 +562,17 @@ def main() -> None:
     # probes expose it via the MINIMUM instead: flag when max/min >= 3
     # AND the spread exceeds 1 s — healthy 32-core scheduler jitter spans
     # 2-3x of a ~0.2 s floor (spread ~0.25 s, can't fire) and healthy
-    # 1-2-core probes sit ~6 s with ratios well under 2. A window
-    # covering EVERY probe (incl. before_suite) is undetectable within
-    # one run by construction — probe_rows_per_core_per_sec is the
-    # cross-run anchor for that case.
+    # 1-2-core probes sit ~6 s with max/median 1.2-1.8 on every clean
+    # campaign leg on record (max/min well under 3). Calibration note
+    # for mid core counts (4-8: floor ~0.8-2.4 s): a genuine 3x
+    # inflation of a multi-second JVM reduction IS a window by any
+    # reasonable definition — the b8a79c1 false positive came from
+    # sub-second scheduling granularity against a 0.2 s probe (ratio
+    # 2.47), which stays under this trigger. The flag is advisory
+    # either way; per-row probe brackets are the fine-grained signal.
+    # A window covering EVERY probe (incl. before_suite) is undetectable
+    # within one run by construction — probe_rows_per_core_per_sec is
+    # the cross-run anchor for that case.
     min_spread_flag = (
         probe_max / max(probe_min, 1e-9) >= 3.0
         and probe_max - probe_min >= 1.0

@@ -234,7 +234,12 @@ def winnow_dup_pairs(
 
     materialize (default): persist the fingerprint table — it feeds the
     df-cap sizing plus both join sides, and would otherwise re-run the
-    kernel per consumer.
+    kernel per consumer. Lifecycle follows the house detector contract
+    (minhash_pairs_fused): the cache is MEMORY_AND_DISK and evicts under
+    pressure; a long-lived driver issuing many runs should either pass
+    materialize=False with its own checkpointed fingerprint table
+    (winnow_pairs_from_fingerprints) or unpersist via
+    result.sparkSession.catalog.clearCache() between runs.
     """
     fps = winnow_fingerprints(docs, id_col, text_col, k, w)
     if materialize:

@@ -155,8 +155,11 @@ def resize_images(
     imgs = (
         media.where(
             (F.col("kind") == "image")
-            & F.col("width").isNotNull()
-            & F.col("height").isNotNull()
+            # > 0, not just NOT NULL: this session runs ANSI mode, where a
+            # zero dimension would raise DIVIDE_BY_ZERO in the scale expr
+            # and fail the stage; corrupt-metadata rows are skipped instead
+            & (F.col("width") > 0)
+            & (F.col("height") > 0)
         )
         .withColumn(
             "scale",

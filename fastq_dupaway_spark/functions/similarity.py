@@ -190,6 +190,16 @@ def train_ivf_centroids(
         .limit(sample)
         .collect()
     )
+    # guard BEFORE the norm: an empty sample (no row matches dim — e.g.
+    # dim misdeclared, or an empty corpus) makes np.array 1-D and
+    # np.linalg.norm(..., axis=1) would raise AxisError instead of the
+    # diagnostic below
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"IVF training needs >= n_cells={n_cells} vectors of "
+            f"dim={dim}, got {len(rows)} (raise `sample`, lower "
+            "`n_cells`, or check `dim` matches the embedding column)"
+        )
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     mat = mat[norms > 0] / norms[norms > 0, None]

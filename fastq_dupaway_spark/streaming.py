@@ -284,13 +284,14 @@ def streaming_winnow_candidates(
     fingerprint; the batch authority (winnow_dup_pairs, same k/w) applies
     the min_shared threshold and df-cap nightly.
     """
-    from .detectors.winnow import K_GRAM, W_WINDOW, _winnow_udf
+    from .detectors.winnow import K_GRAM, W_WINDOW, winnow_fingerprints
 
-    fps = conv_stream.select(
-        "conv_id",
-        F.explode(
-            _winnow_udf(k or K_GRAM, w or W_WINDOW)(F.col("text"))
-        ).alias("fp"),
+    fps = winnow_fingerprints(
+        conv_stream.select("conv_id", "text"),
+        id_col="conv_id",
+        text_col="text",
+        k=k or K_GRAM,
+        w=w or W_WINDOW,
     )
     return fps.groupBy("fp").applyInPandasWithState(
         _bucket_update(max_state, timeout_minutes),

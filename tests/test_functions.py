@@ -137,6 +137,32 @@ def test_resize_images_dims_and_narrow_plan(spark):
     assert "Exchange" not in plan
 
 
+def test_resize_images_skips_zero_dimension_rows(spark):
+    """ANSI mode is live in this session: a width=0/height=0 row must be
+    SKIPPED by the dimension filter, not raise DIVIDE_BY_ZERO in the
+    scale expression and fail the stage."""
+    rows = [
+        ("ok", "image", "image/png", bytearray(b"x" * 32), 64, 48, None),
+        ("zw", "image", "image/png", bytearray(b"y" * 32), 0, 48, None),
+        ("zh", "image", "image/png", bytearray(b"z" * 32), 64, 0, None),
+    ]
+    media = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    out = MM.resize_images(media, max_w=32, max_h=32).collect()
+    assert [r["media_id"] for r in out] == ["ok"]
+
+
+def test_ivf_train_raises_cleanly_on_empty_or_thin_sample(spark):
+    """An empty sample (dim mismatch) and a thin sample must both raise
+    the diagnostic ValueError, not a numpy AxisError."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="IVF training needs"):
+        train_ivf_centroids(emb, n_cells=8, dim=999)  # no row matches
+    with _pytest.raises(ValueError, match="IVF training needs"):
+        train_ivf_centroids(emb.limit(3), n_cells=8, dim=64)
+
+
 def test_feature_extraction_is_narrow(spark):
     """No Exchange in the physical plan: payload bytes never shuffle."""
     media = MM.synthetic_media(spark, n=6)

@@ -155,6 +155,20 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jaccard_pairs_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH on the AGGREGATION path (minhash_pairs_agg): k JVM
+    min-aggregations for signatures — full shingle rows never shuffle —
+    then exact-Jaccard verify over candidate-scoped sets. Different
+    signature hash family than jaccard_pairs, same recall-saturated
+    banding (P(miss) < 1e-7 at J>=0.8), same brute-force oracle."""
+    from fastq_dupaway_spark.detectors.minhash import minhash_pairs_agg
+
+    t = build_transcripts(spark, sf_dir)
+    return minhash_pairs_agg(
+        t, n=3, k=128, n_bands=32, threshold=0.8
+    ).orderBy("conv_a", "conv_b")
+
+
 def _q_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of exact-Hamming pairs -> connected components: the full
     clustering stage over a deterministic pair set (oracle mirrors with a
@@ -496,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_summary": _q_quarantine_summary,
         "hamming_pairs": _q_hamming_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "jaccard_pairs_agg": _q_jaccard_pairs_agg,
         "near_dup_components": _q_near_dup_components,
         "containment_pairs": _q_containment_pairs,
         "char_containment_pairs": _q_char_containment_pairs,
@@ -774,6 +789,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_a, conv_b FROM verified ORDER BY conv_a, conv_b
         """,
         "jaccard_pairs": _T + """
+            , toks AS (
+                SELECT conv_id, string_split(text, ' ') AS t
+                FROM transcripts
+            ),
+            sh AS (
+                SELECT DISTINCT conv_id,
+                       CASE WHEN len(t) >= 3
+                            THEN array_to_string(list_slice(t, k + 1, k + 3), ' ')
+                            ELSE array_to_string(t, ' ') END AS shingle
+                FROM toks, LATERAL unnest(
+                    range(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 1 END)
+                ) AS u(k)
+            ),
+            sizes AS (SELECT conv_id, count(*) AS n FROM sh GROUP BY conv_id),
+            inter AS (
+                SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS i
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.conv_id < b.conv_id
+                GROUP BY 1, 2
+            )
+            SELECT conv_a, conv_b
+            FROM inter
+            JOIN sizes sa ON sa.conv_id = conv_a
+            JOIN sizes sb ON sb.conv_id = conv_b
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            ORDER BY conv_a, conv_b
+        """,
+"jaccard_pairs_agg": _T + """
             , toks AS (
                 SELECT conv_id, string_split(text, ' ') AS t
                 FROM transcripts

@@ -37,18 +37,12 @@ from .buckets import hot_buckets, salted_self_pairs
 
 
 
-def shingle_hashes(transcripts: DataFrame, n: int = 3) -> DataFrame:
-    """(conv_id, sh) shingle 64-bit hashes; word n-grams per turn.
-
-    Turns shorter than n words contribute one whole-turn shingle so short
-    turns are not silently unrepresented.
-
-    Distinct on (conv_id, sh): MinHash itself is duplicate-invariant, but
-    deduping EARLY shrinks every downstream stage (signature lists, the
-    verify's collect_set shuffle) and the distinct's own exchange carries
-    only unique rows thanks to map-side partial aggregation — measured
-    ~2x faster end-to-end than deferring dedup to collect_set.
-    """
+def shingle_rows(transcripts: DataFrame, n: int = 3) -> DataFrame:
+    """(conv_id, sh) raw (NON-distinct) shingle 64-bit hash rows; word
+    n-grams per turn. Turns shorter than n words contribute one
+    whole-turn shingle so short turns are not silently unrepresented.
+    Narrow (split + explode + hash, no exchange) — the shared front of
+    all three minhash formulations below."""
     toks = transcripts.select(
         "conv_id",
         # literal single-space split (not \s+): keeps tokenization
@@ -67,9 +61,19 @@ def shingle_hashes(transcripts: DataFrame, n: int = 3) -> DataFrame:
             ).otherwise(F.array(F.array_join("toks", " ")))
         ).alias("shingle"),
     )
-    return grams.select(
-        "conv_id", F.xxhash64("shingle").alias("sh")
-    ).distinct()
+    return grams.select("conv_id", F.xxhash64("shingle").alias("sh"))
+
+
+def shingle_hashes(transcripts: DataFrame, n: int = 3) -> DataFrame:
+    """(conv_id, sh) DISTINCT shingle hashes.
+
+    Distinct on (conv_id, sh): MinHash itself is duplicate-invariant, but
+    deduping EARLY shrinks every downstream stage (signature lists, the
+    verify's collect_set shuffle) and the distinct's own exchange carries
+    only unique rows thanks to map-side partial aggregation — measured
+    ~2x faster end-to-end than deferring dedup to collect_set.
+    """
+    return shingle_rows(transcripts, n).distinct()
 
 
 def shingle_sets(transcripts: DataFrame, n: int = 3) -> DataFrame:
@@ -89,24 +93,8 @@ def shingle_sets(transcripts: DataFrame, n: int = 3) -> DataFrame:
     exchange. MinHash is duplicate-invariant and the verify is
     set-valued, so results are bit-identical to the row-level path
     (pytest-pinned)."""
-    toks = transcripts.select(
-        "conv_id",
-        F.split(F.col("text"), " ").alias("toks"),
-    )
-    grams = toks.select(
-        "conv_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= n,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - n),
-                    lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
-                ),
-            ).otherwise(F.array(F.array_join("toks", " ")))
-        ).alias("shingle"),
-    )
     return (
-        grams.select("conv_id", F.xxhash64("shingle").alias("sh"))
+        shingle_rows(transcripts, n)
         .groupBy("conv_id")
         .agg(F.collect_set("sh").alias("shs"))
     )
@@ -180,6 +168,93 @@ def minhash_signatures_from_sets(
         return pd.Series([row.tolist() for row in out])
 
     return sets.select("conv_id", sig_udf(F.col("shs")).alias("sig"))
+
+
+def minhash_signatures_agg(
+    rows: DataFrame, k: int = 128, seed: int = 42
+) -> DataFrame:
+    """(conv_id, sig array<bigint>) via k JVM MIN-AGGREGATIONS — the
+    sparse-corpus scale path: MinHash is an associative, duplicate-
+    invariant minimum, so each signature slot is a plain `min` aggregate
+    of a per-slot hash. The exchange carries ONE k-long partial-min row
+    per conversation per mapper (map-side combine) instead of the
+    shingle-sized data — full shingle rows never shuffle at all.
+
+    Hash family: h_i(sh) = xxhash64(sh, i, seed) — one independent
+    64-bit hash per slot (the standard one-hash-per-slot MinHash).
+    Deliberately NOT the numpy (a_i*h + b_i mod 2^64) family of the
+    UDF paths: JVM arithmetic runs under ANSI (overflow throws), while
+    xxhash64 is native, codegen'd, and seeded. Signatures therefore
+    differ from minhash_signatures_from_sets, but the VERIFIED pair set
+    is identical at any banding config whose candidate recall is ~1 at
+    the threshold (exact-Jaccard verify both paths; pytest-pinned
+    equality at two configs).
+
+    Accepts raw non-distinct shingle_rows: min is duplicate-invariant,
+    so the upstream distinct exchange is unnecessary here too."""
+    perms = [
+        F.min(F.xxhash64("sh", F.lit(i), F.lit(seed))).alias(f"_s{i}")
+        for i in range(k)
+    ]
+    return (
+        rows.groupBy("conv_id")
+        .agg(*perms)
+        .select(
+            "conv_id",
+            F.array(*[F.col(f"_s{i}") for i in range(k)]).alias("sig"),
+        )
+    )
+
+
+def minhash_pairs_agg(
+    transcripts: DataFrame,
+    n: int = 3,
+    k: int = 128,
+    n_bands: int = 16,
+    threshold: float = 0.8,
+    max_bucket: int = 2000,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end MinHash LSH on the AGGREGATION path — the shape for
+    sparse-duplicate corpora at cluster scale:
+
+    1. signatures: k min-aggregations (minhash_signatures_agg) — the
+       only full-corpus pass is the narrow map; the exchange is k longs
+       per conversation per mapper;
+    2. banding + salted candidate self-join as usual (candidates
+       materialized as their own action — the staged-action house
+       pattern that dodges the bimodal AQE mega-DAG);
+    3. exact-Jaccard verify over sets aggregated ONLY for conversations
+       that appear in a candidate pair (left-semi pushdown before the
+       collect_set) — at a realistic 100 TB duplicate rate the verify
+       exchange shrinks from the corpus to the candidate set.
+
+    Trade-off vs minhash_pairs_fused (the set path): fused exchanges the
+    deduped shingle sets ONCE and reuses them for signatures + verify —
+    best when most conversations end up in candidate pairs (the planted
+    bench corpus); this path never exchanges shingle data for the
+    signature stage at all — best when candidates are a small fraction
+    of the corpus, and it re-scans the transcripts for the verify
+    instead of caching shingle-sized state. Output equality with fused
+    is pytest-pinned at recall-saturated banding configs."""
+    if k % n_bands:
+        raise ValueError(f"k={k} must be a multiple of n_bands={n_bands}")
+    rows = shingle_rows(transcripts, n)
+    sigs = minhash_signatures_agg(rows, k, seed)
+    cands = lsh_candidates(sigs, n_bands, max_bucket).localCheckpoint()
+    cand_ids = (
+        cands.select(F.col("conv_a").alias("conv_id"))
+        .unionByName(cands.select(F.col("conv_b").alias("conv_id")))
+        .distinct()
+    )
+    sets = (
+        rows.join(cand_ids, "conv_id", "left_semi")
+        .groupBy("conv_id")
+        .agg(F.collect_set("sh").alias("shs"))
+    )
+    return verify_jaccard_pairs_from_sets(sets, cands, threshold).select(
+        "conv_a", "conv_b"
+    )
 
 
 def _banded(signatures: DataFrame, n_bands: int) -> DataFrame:

@@ -113,6 +113,13 @@ class DedupConfig:
     shingle_n: int = 3
     minhash_k: int = 128
     minhash_bands: int = 16
+    # "set" (default): ONE exchange of deduped shingle sets reused by
+    # signatures + verify — best when most conversations are candidates
+    # (dup-heavy corpora). "agg": signatures via k JVM min-aggregations
+    # (full shingle rows never shuffle) + candidate-scoped verify sets —
+    # best at sparse duplicate rates, where the verify exchange shrinks
+    # from the corpus to the candidate set (minhash.minhash_pairs_agg).
+    minhash_path: str = "set"
     jaccard_threshold: float = 0.8
     semantic_threshold: float = 0.9
     semantic_planes: int = 8
@@ -130,6 +137,11 @@ class DedupConfig:
             raise ValueError(
                 f"minhash_k={self.minhash_k} must be a multiple of "
                 f"minhash_bands={self.minhash_bands}"
+            )
+        if self.minhash_path not in ("set", "agg"):
+            raise ValueError(
+                f"minhash_path must be 'set' or 'agg', got "
+                f"{self.minhash_path!r}"
             )
 
     def params(self) -> dict:
@@ -409,7 +421,67 @@ def run_pipeline(
                         ).select("conv_a", "conv_b"),
                     )
                 )
-        if config.minhash:
+        if config.minhash and config.minhash_path == "agg":
+            from .detectors.minhash import (
+                minhash_pairs_agg,
+                minhash_signatures_agg,
+                shingle_rows,
+            )
+
+            if store is None:
+                pair_sets.append(
+                    minhash_pairs_agg(
+                        transcripts,
+                        n=config.shingle_n,
+                        k=config.minhash_k,
+                        n_bands=config.minhash_bands,
+                        threshold=config.jaccard_threshold,
+                        max_bucket=config.max_bucket,
+                        seed=config.seed,
+                    )
+                )
+            else:
+                # agg path, staged: signatures are a pure aggregation
+                # (no shingle-sized exchange to checkpoint); the verify
+                # set table is candidate-scoped so it is derived inside
+                # the pairs stage rather than checkpointed corpus-wide
+                rows = shingle_rows(transcripts, config.shingle_n)
+                sigs = stage(
+                    "minhash_signatures",
+                    lambda: minhash_signatures_agg(
+                        rows, config.minhash_k, config.seed
+                    ),
+                )
+                stage(
+                    "minhash_hot_buckets",
+                    lambda: lsh_hot_buckets(
+                        sigs, config.minhash_bands, config.max_bucket
+                    ),
+                )
+                mc = stage(
+                    "minhash_candidates",
+                    lambda: lsh_candidates(
+                        sigs, config.minhash_bands, config.max_bucket
+                    ),
+                )
+
+                def _agg_pairs():
+                    cand_ids = (
+                        mc.select(F.col("conv_a").alias("conv_id"))
+                        .unionByName(mc.select(F.col("conv_b").alias("conv_id")))
+                        .distinct()
+                    )
+                    sets = (
+                        rows.join(cand_ids, "conv_id", "left_semi")
+                        .groupBy("conv_id")
+                        .agg(F.collect_set("sh").alias("shs"))
+                    )
+                    return verify_jaccard_pairs_from_sets(
+                        sets, mc, config.jaccard_threshold
+                    ).select("conv_a", "conv_b")
+
+                pair_sets.append(stage("minhash_pairs", _agg_pairs))
+        elif config.minhash:
             if store is None:
                 pair_sets.append(
                     minhash_pairs_fused(

@@ -86,6 +86,14 @@ def parse_args(argv=None) -> argparse.Namespace:
         "co-partitioned shuffled-hash semi-join instead of broadcasting "
         "the distinct key set to every executor",
     )
+    p.add_argument(
+        "--minhash-agg",
+        action="store_true",
+        help="run the minhash detector on the aggregation path (k JVM "
+        "min-aggregations for signatures, candidate-scoped verify sets) "
+        "instead of the single-exchange set path — the sparse-duplicate "
+        "cluster-scale shape (minhash.minhash_pairs_agg)",
+    )
     p.add_argument("--max-bucket", type=int, default=2000)
     p.add_argument("--cpus", type=int, default=None)
     args = p.parse_args(argv)
@@ -130,6 +138,7 @@ def main(argv=None) -> None:
         simhash="simhash" in dets,
         simhash_weighted=args.simhash_weighted,
         minhash="minhash" in dets,
+        minhash_path="agg" if args.minhash_agg else "set",
         containment="containment" in dets,
         char_containment="char_containment" in dets,
         semantic="semantic" in dets,

@@ -135,6 +135,44 @@ def test_minhash_fused_set_path_identical(spark, gen_corpus):
         assert fused == row
 
 
+def test_minhash_agg_path_same_verified_pairs(spark, gen_corpus):
+    """The aggregation path (k min-aggregations for signatures +
+    candidate-scoped set aggregation for the verify) uses a DIFFERENT
+    hash family for signatures, so candidates may differ — but at
+    recall-saturated banding configs (P(miss) < 1e-7 at the threshold)
+    the exact-Jaccard verify makes the emitted pair relation identical
+    to the set path. Also pins the scale property: the signature plan is
+    a partial (map-side-combined) min aggregation, and no stage before
+    the candidate join exchanges shingle-sized rows."""
+    from fastq_dupaway_spark.detectors.minhash import (
+        minhash_pairs_agg,
+        minhash_pairs_fused,
+        minhash_signatures_agg,
+        shingle_rows,
+    )
+
+    t = corpus.conv_df(spark, gen_corpus)
+    # banding must saturate recall AT the threshold for equality to be
+    # deterministic: 32 bands x 4 rows misses a J=0.55 pair ~5% of the
+    # time (observed), so the 0.5-threshold case runs 64 bands x 2 rows
+    # (worst-case miss at J=0.5: 0.75^64 ~ 1e-8)
+    for n_bands, thr in ((32, 0.8), (64, 0.5)):
+        fused = _spark_pairs(
+            minhash_pairs_fused(t, n=3, k=128, n_bands=n_bands, threshold=thr)
+        )
+        agg = _spark_pairs(
+            minhash_pairs_agg(t, n=3, k=128, n_bands=n_bands, threshold=thr)
+        )
+        assert agg == fused
+    plan = (
+        minhash_signatures_agg(shingle_rows(t, 3), k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_min" in plan
+
+
 def test_minhash_hot_bucket_salting(spark):
     """Hot-bucket policy (buckets.py): a boilerplate text shared by many
     conversations is salted into bounded sub-buckets — candidate volume

@@ -29,6 +29,29 @@ def test_pipeline_multi_detector(spark, tmp_path):
     assert all(not s["resumed"] for s in res.stages)
 
 
+def test_pipeline_minhash_agg_path_same_clusters(spark, tmp_path):
+    """minhash_path='agg' (min-aggregation signatures + candidate-scoped
+    verify sets) yields the same cluster assignment as the set path, in
+    both checkpointed and lazy modes, at a recall-saturated banding
+    config; the checkpointed run exposes the same stage names."""
+    convs = corpus.generate_corpus(seed=9, n_conv=80, dup_rate=0.5)
+    t = corpus.conv_df(spark, convs)
+    base = dict(exact=False, minhash=True, minhash_k=128, minhash_bands=32)
+    ref = run_pipeline(t, DedupConfig(**base))
+    expected = {
+        r.conv_id: r.rep_conv_id for r in ref.clusters.collect()
+    }
+    for root in (None, str(tmp_path / "ck_agg")):
+        res = run_pipeline(
+            t, DedupConfig(**base, minhash_path="agg"), checkpoint_root=root
+        )
+        got = {r.conv_id: r.rep_conv_id for r in res.clusters.collect()}
+        assert got == expected
+    names = {s["stage"] for s in res.stages}
+    assert {"minhash_signatures", "minhash_candidates", "minhash_pairs",
+            "minhash_hot_buckets"} <= names
+
+
 def test_pipeline_resume_skips_completed_stages(spark, tmp_path):
     convs = corpus.generate_corpus(seed=9, n_conv=60, dup_rate=0.4)
     t = corpus.conv_df(spark, convs)

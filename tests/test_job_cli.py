@@ -47,3 +47,74 @@ def test_job_end_to_end(spark, tmp_path, capsys):
     cl = spark.read.parquet(str(out / "clusters"))
     assert surv.count() > 0
     assert cl.count() == len(convs)
+
+
+import run_curation  # noqa: E402
+
+
+def test_curation_cli_guards():
+    with pytest.raises(SystemExit):
+        run_curation.parse_args(
+            ["--input", "x", "--output", "o", "--detectors", "nope"]
+        )
+    with pytest.raises(SystemExit):
+        run_curation.parse_args(
+            ["--input", "x", "--output", "o", "--min-quality", "20000"]
+        )
+    with pytest.raises(SystemExit):
+        run_curation.parse_args(
+            ["--input", "x", "--output", "o",
+             "--min-tokens", "10", "--max-tokens", "5"]
+        )
+    args = run_curation.parse_args(["--input", "x", "--output", "o"])
+    assert args.detectors == "exact" and args.min_quality == 0
+
+
+def test_curation_end_to_end(spark, tmp_path, capsys):
+    """Filters + dedup + exact accounting: every input conversation lands
+    in exactly one bucket (kept-survivor / kept-dup / rejected_<reason> /
+    quarantined), the rejected audit table carries reasons, and survivors
+    exclude both rejected and duplicate conversations."""
+    from pyspark.sql import functions as F
+
+    convs = corpus.generate_corpus(seed=13, n_conv=60, dup_rate=0.5)
+    df = corpus.conv_df(spark, convs)
+    # plant: 3 too-short conversations and 2 French ones
+    extra = spark.createDataFrame(
+        [(f"short{i:02d}", 0, "user", "tiny text", None) for i in range(3)]
+        + [(f"fr{i:02d}", 0, "user",
+            "le chat et la souris dans le jardin aujourd'hui encore",
+            None) for i in range(2)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    ).withColumn("ts", F.current_timestamp())
+    df = df.unionByName(extra.select(*df.columns))
+    src = tmp_path / "in"
+    df.write.parquet(str(src))
+    out = tmp_path / "out"
+    run_curation.main(
+        [
+            "--input", str(src),
+            "--output", str(out),
+            "--min-tokens", "5",
+            "--langs", "en",
+            "--detectors", "exact",
+            "--cpus", "4",
+        ]
+    )
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    stats = dict(kv.split("=") for kv in line.split())
+    assert int(stats["rejected_too_short"]) == 3
+    assert int(stats["rejected_lang"]) == 2
+    n_in = df.select("conv_id").distinct().count()
+    assert int(stats["tot_convs"]) == n_in
+    assert int(stats["kept"]) == n_in - 5
+    assert (
+        int(stats["dedup_survivors"]) + int(stats["dup_convs"])
+        == int(stats["kept"]) - int(stats["quarantined_convs"])
+    )
+    rejected = spark.read.parquet(str(out / "rejected"))
+    assert rejected.count() == 5
+    surv = spark.read.parquet(str(out / "survivors"))
+    surv_ids = {r["conv_id"] for r in surv.select("conv_id").distinct().collect()}
+    assert int(stats["dedup_survivors"]) == len(surv_ids)
+    assert not any(s.startswith(("short", "fr")) for s in surv_ids)

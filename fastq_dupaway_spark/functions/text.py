@@ -111,8 +111,10 @@ def bpe_token_count(text: Column) -> Column:
 
 def fingerprint(text: Column, width: int = 16) -> Column:
     """Document fingerprint: xxhash64 of the `width`-token normalized
-    prefix — a cheap near-front rolling-hash stand-in used for fast
-    candidate bucketing (engine-specific hash; not oracle-checked)."""
+    prefix — a cheap near-front hash used for fast candidate bucketing
+    (engine-specific hash; not oracle-checked). For REAL rolling-hash
+    document fingerprinting (Schleimer et al. winnowing, oracle-checked)
+    use detectors/winnow.winnow_fingerprints."""
     head = F.array_join(F.slice(tokens(F.lower(text)), 1, width), " ")
     return F.xxhash64(head)
 

@@ -53,6 +53,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     )
     p.add_argument("--detectors", default="exact")
     p.add_argument("--checkpoint")
+    p.add_argument("--winnow-min-shared", type=int, default=8)
+    p.add_argument("--winnow-max-df", type=int, default=2000)
     p.add_argument("--max-bucket", type=int, default=2000)
     p.add_argument("--minhash-agg", action="store_true")
     p.add_argument("--cpus", type=int, default=None)
@@ -130,6 +132,8 @@ def main(argv=None) -> None:
         containment="containment" in dets,
         char_containment="char_containment" in dets,
         winnow="winnow" in dets,
+        winnow_min_shared=args.winnow_min_shared,
+        winnow_max_df=args.winnow_max_df,
         max_bucket=args.max_bucket,
     )
     res = run_pipeline(kept, cfg, checkpoint_root=args.checkpoint)

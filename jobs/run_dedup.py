@@ -87,6 +87,21 @@ def parse_args(argv=None) -> argparse.Namespace:
         "the distinct key set to every executor",
     )
     p.add_argument(
+        "--winnow-min-shared",
+        type=int,
+        default=8,
+        help="winnow detector operating point: pairs must share at least "
+        "this many distinct fingerprints (raise on template-heavy corpora "
+        "-- measured knob in STATUS #18)",
+    )
+    p.add_argument(
+        "--winnow-max-df",
+        type=int,
+        default=2000,
+        help="winnow boilerplate cap: fingerprints in more than this many "
+        "conversations are excluded from pair generation and surfaced",
+    )
+    p.add_argument(
         "--minhash-agg",
         action="store_true",
         help="run the minhash detector on the aggregation path (k JVM "
@@ -143,6 +158,8 @@ def main(argv=None) -> None:
         char_containment="char_containment" in dets,
         semantic="semantic" in dets,
         winnow="winnow" in dets,
+        winnow_min_shared=args.winnow_min_shared,
+        winnow_max_df=args.winnow_max_df,
         semantic_embedder=(
             "feature_hash" if args.embeddings == "auto" else "external"
         ),

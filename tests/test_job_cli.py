@@ -118,3 +118,32 @@ def test_curation_end_to_end(spark, tmp_path, capsys):
     surv_ids = {r["conv_id"] for r in surv.select("conv_id").distinct().collect()}
     assert int(stats["dedup_survivors"]) == len(surv_ids)
     assert not any(s.startswith(("short", "fr")) for s in surv_ids)
+
+
+def test_winnow_knobs_thread_through(spark, tmp_path, capsys):
+    """--winnow-min-shared / --winnow-max-df reach DedupConfig: an
+    unsatisfiable min_shared turns the winnow detector into a no-op
+    (all singletons), proving the knob is not silently dropped."""
+    args = run_dedup.parse_args(
+        ["--input", "x", "--output", "o", "--detectors", "winnow",
+         "--winnow-min-shared", "12", "--winnow-max-df", "100"]
+    )
+    assert (args.winnow_min_shared, args.winnow_max_df) == (12, 100)
+    cargs = run_curation.parse_args(
+        ["--input", "x", "--output", "o", "--winnow-min-shared", "7"]
+    )
+    assert cargs.winnow_min_shared == 7
+    convs = corpus.generate_corpus(seed=13, n_conv=40, dup_rate=0.5)
+    src = tmp_path / "in2"
+    corpus.conv_df(spark, convs).write.parquet(str(src))
+    run_dedup.main(
+        [
+            "--input", str(src),
+            "--output", str(tmp_path / "out2"),
+            "--detectors", "winnow",
+            "--winnow-min-shared", "1000000",
+            "--cpus", "4",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "dup_convs=0" in out  # nothing can share 10^6 fingerprints

@@ -98,15 +98,38 @@ def connected_components(
         .distinct(),
         "init",
     )
+    # Scale-adaptive shuffle sizing for the star rounds (guide §2.2): the
+    # edge count is known exactly after the init checkpoint (it rode the
+    # observe), and candidate-pair graphs are typically orders of
+    # magnitude smaller than the corpus the session's shuffle.partitions
+    # was sized for — at bench scale, 57k edges through 64-partition
+    # exchanges spent more wall time on task scheduling than on edges
+    # (measured 2.4-4.0 s at 64 parts vs 1.3-1.9 s at 8-16, identical
+    # output). Derive partitions from the edge count (~250k edges per
+    # partition, floor 8) and never RAISE above the session setting, so a
+    # cluster-sized configuration is respected and a big graph keeps its
+    # parallelism. Restored in finally — the conf is session-global.
+    spark = pairs.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    saved_parts = spark.conf.get(conf_key)
     rounds = 0
-    for i in range(max_iter):
-        edges, cur = _observed_checkpoint(
-            _small_star(_large_star(edges)).distinct(), str(i)
+    try:
+        n_edges = prev[0]
+        adaptive = min(
+            int(saved_parts), max(8, -(-int(n_edges) // 250_000))
         )
-        rounds += 1
-        if cur == prev:
-            break
-        prev = cur
+        if adaptive < int(saved_parts):
+            spark.conf.set(conf_key, str(adaptive))
+        for i in range(max_iter):
+            edges, cur = _observed_checkpoint(
+                _small_star(_large_star(edges)).distinct(), str(i)
+            )
+            rounds += 1
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        spark.conf.set(conf_key, saved_parts)
     if stats is not None:
         stats["cc_rounds"] = rounds
         stats["cc_edges"] = prev[0]

@@ -32,11 +32,11 @@ from .simhash import verify_hamming_pairs
 
 
 def _chunk_blocks(transcripts: DataFrame, d: int) -> DataFrame:
-    """(conv_id, n_turns, len0, chunk_id, chunk_text) blocking rows.
+    """(conv_id, n_turns, len0, chunk_id, chunk_h) blocking rows.
 
     chunk i covers [floor(i*len/n), floor((i+1)*len/n)) — same arithmetic
     as the oracle SQL. len0 <= d emits d+1 sentinel rows (chunk_id -1..
-    -(d+1), empty chunk_text): blocking on (n_turns, len0) alone, since
+    -(d+1), empty chunk): blocking on (n_turns, len0) alone, since
     equal lengths <= d are already within distance d on turn 0. The d+1
     DISTINCT sentinel chunk_ids matter only for hot blocks: the salt hash
     in buckets.py includes chunk_id, so a hot (n_turns, len0<=d) block is
@@ -44,19 +44,38 @@ def _chunk_blocks(transcripts: DataFrame, d: int) -> DataFrame:
     components recovers hot clusters; a single sentinel row would give the
     block exactly one salt cut and lose hot-cluster recall in that corner.
     Candidate SET is unchanged outside hot blocks (pairs dedup).
+
+    Two r6 plan cuts (guide §2.3/§2.4), both output-identical (verified
+    pair-set equality in-session at bench x8 scale):
+
+    - base rows come from conversation_texts(transcripts) — n_turns is
+      size(texts) and turn 0 is element_at(texts, 1) — ONE aggregation
+      instead of the former filter + groupBy + equi-join of two
+      conversation-sized tables; in a session where the conversation-texts
+      table is already cached (the bench, the pipeline) the whole blocking
+      stage becomes a narrow projection of that cache with no exchange
+      at all.
+    - the join key carries chunk_h = xxhash64(chunk text), never the chunk
+      STRING: the blocking exchange ships fixed-width rows instead of
+      ~len0/(d+1) chars each. A 64-bit collision can only ADD a candidate,
+      which the exact per-turn Hamming verify removes — recall and the
+      final pair set are unchanged (same argument as the containment
+      prefix hashes).
     """
+    from ..canonicalize import conversation_texts
+
     n_chunks = d + 1
-    turn0 = transcripts.where(F.col("turn_idx") == 0).select("conv_id", "text")
-    n_turns = transcripts.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
-    base = turn0.join(n_turns, "conv_id").select(
-        "conv_id", "n_turns", F.length("text").alias("len0"), "text"
-    )
+    base = conversation_texts(transcripts).select(
+        "conv_id",
+        F.size("texts").alias("n_turns"),
+        F.element_at("texts", 1).alias("text"),
+    ).select("conv_id", "n_turns", F.length("text").alias("len0"), "text")
     short = base.where(F.col("len0") <= d).select(
         "conv_id",
         "n_turns",
         "len0",
         F.explode(F.sequence(F.lit(-n_chunks), F.lit(-1))).alias("chunk_id"),
-        F.lit("").alias("chunk_text"),
+        F.xxhash64(F.lit("")).alias("chunk_h"),
     )
     long = (
         base.where(F.col("len0") > d)
@@ -84,15 +103,15 @@ def _chunk_blocks(transcripts: DataFrame, d: int) -> DataFrame:
             "n_turns",
             "len0",
             "chunk_id",
-            F.expr("substr(text, c_start + 1, c_end - c_start)").alias(
-                "chunk_text"
-            ),
+            F.xxhash64(
+                F.expr("substr(text, c_start + 1, c_end - c_start)")
+            ).alias("chunk_h"),
         )
     )
     return short.unionByName(long)
 
 
-_KEYS = ["n_turns", "len0", "chunk_id", "chunk_text"]
+_KEYS = ["n_turns", "len0", "chunk_id", "chunk_h"]
 
 
 def hamming_candidates(

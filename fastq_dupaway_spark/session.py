@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def get_spark(
@@ -18,6 +19,7 @@ def get_spark(
     app_name: str = "transcript-dedup",
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    warmup: bool = True,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
@@ -60,6 +62,22 @@ def get_spark(
         # spark.sql.shuffle.partitions instead.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-optimize the materialization of persisted plans: by
+        # default a cached plan keeps its STATIC output partitioning, so
+        # persist()+count() ran the full static sort-merge plan while the
+        # identical un-persisted count got AQE's runtime join re-planning
+        # — measured 2-3x on the detector verify stages (semantic verify
+        # persist+count 2.3-3.1 s warm vs 1.0-1.8 s direct; with this
+        # flag 1.5-1.9 s). The staged pipeline persists every candidate /
+        # verify table, so the static-plan penalty was paid per stage.
+        # Trade-off (documented upstream): the cache's output
+        # partitioning may change, costing a downstream exchange — every
+        # consumer here re-keys anyway (joins/aggregations on different
+        # keys), so there is nothing to preserve.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # broadcast threshold stays at the 10 MB default: the sides this
         # pipeline NEEDS broadcast (needle-key sets, salt dims, top-k
         # weight tables) carry explicit F.broadcast hints at the join
@@ -95,4 +113,90 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if warmup:
+        _warmup_once(spark)
     return spark
+
+
+def _warmup_once(spark: SparkSession) -> None:
+    """Exercise the hot physical-operator families once on tiny data so
+    the first REAL query does not pay JVM JIT / codegen-compiler /
+    shuffle-machinery first-execution costs (guide §1: the first
+    execution of a heavy pipeline measured 2-3x its warm floor; a fresh
+    session running the bench minhash row cold took 14.7-16.4 s vs
+    11.6-14.8 s after this warmup, fresh-process A/B x3).
+
+    Covered: hash aggregate + window, sort-merge and broadcast joins,
+    range partitioning + sort + mapInPandas + localCheckpoint (the parity
+    scan shape), collect_set + explode + distinct + shuffled-hash join
+    (the detector banding shape). A few hundred ms of driver time per
+    NEW session, guarded by a session tag so getOrCreate reuse never
+    repeats it; no user data is touched and nothing is cached."""
+    tag = "spark.fastq_dupaway.warmed"
+    try:
+        if spark.conf.get(tag, None) == "1":
+            return
+        spark.conf.set(tag, "1")
+        from pyspark.sql import Window
+
+        sc = spark.sparkContext
+        sc.setJobDescription("session warmup")
+        df = spark.range(0, 8192, 1, 4).select(
+            F.col("id"),
+            (F.col("id") % 63).alias("k"),
+            F.col("id").cast("string").alias("s"),
+        )
+        w = Window.partitionBy("k")
+        df.select(F.min("id").over(w)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        df.alias("a").join(df.alias("b"), "id").select(
+            F.count(F.lit(1))
+        ).write.format("noop").mode("overwrite").save()
+        df.join(
+            F.broadcast(df.limit(64).select("id")), "id", "left_semi"
+        ).count()
+
+        def _idp(batches):
+            for p in batches:
+                yield p[["id"]]
+
+        (
+            df.repartitionByRange(4, "s")
+            .sortWithinPartitions("s")
+            .mapInPandas(_idp, "id long")
+            .localCheckpoint()
+            .count()
+        )
+        (
+            df.groupBy("k")
+            .agg(F.collect_set("id").alias("v"))
+            .select("k", F.explode("v").alias("x"))
+            .distinct()
+            .join(df.hint("shuffle_hash"), F.col("x") == F.col("id"))
+            .count()
+        )
+        # array-typed Arrow round-trip (the semantic/minhash verify shape:
+        # array columns through ArrowEvalPython) — list-vector Arrow paths
+        # JIT separately from the scalar paths above
+        import pandas as pd  # noqa: F401  (ships with pyspark extras)
+
+        @F.pandas_udf("double")
+        def _wsum(v: "pd.Series") -> "pd.Series":
+            import numpy as np
+
+            return pd.Series(
+                [float(np.sum(x)) if x is not None else 0.0 for x in v]
+            )
+
+        arr = df.select(
+            "id", F.array(F.col("id"), F.col("k"), F.lit(1)).alias("v")
+        )
+        arr.select(_wsum(F.col("v"))).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sc.setJobDescription(None)
+    except Exception:
+        # warmup is best-effort: a restricted environment (no pandas, no
+        # noop sink) must never block session creation
+        pass

@@ -92,6 +92,31 @@ def test_short_needle_recall(spark):
     assert not any("n3" in p for p in got)
 
 
+def test_tiered_prefix_blocking_boundaries(spark):
+    """r6 two-tier probe key (PREFIX_LEN short tier + PREFIX_LEN_LONG
+    selective tier): needles/containers at every tier boundary length
+    (PREFIX_LEN-1 .. +1, PREFIX_LEN_LONG-1 .. +1) must match brute force
+    exactly — the off-by-one surface of the k_probe CASE and the block
+    side's conditional long-tier row."""
+    from fastq_dupaway_spark.detectors.containment import (
+        PREFIX_LEN,
+        PREFIX_LEN_LONG,
+    )
+
+    convs = []
+    for ln in (
+        1, PREFIX_LEN - 1, PREFIX_LEN, PREFIX_LEN + 1,
+        PREFIX_LEN_LONG - 1, PREFIX_LEN_LONG, PREFIX_LEN_LONG + 1,
+        PREFIX_LEN_LONG + 40,
+    ):
+        body = ("x" * (PREFIX_LEN_LONG + 60))[:ln]
+        convs.append((f"a{ln:03d}", [body]))            # needle of length ln
+        convs.append((f"b{ln:03d}", [body + " tail extension beyond"]))
+        convs.append((f"c{ln:03d}", ["pre turn", body]))  # boundary-1 container
+    got = _pairs(containment_pairs(conversation_texts(corpus.conv_df(spark, convs))))
+    assert got == _brute_containment(convs)
+
+
 class TestCharContainment:
     """char_containment_pairs: mid-turn generalized substring containment
     vs a brute-force composite-in-composite oracle."""

@@ -102,9 +102,19 @@ def conversation_signatures(transcripts: DataFrame) -> DataFrame:
 
     One shuffle, keyed by conv_id (high-entropy key — no skew). On an
     Iceberg table bucketed by conv_id this becomes shuffle-free.
+
+    r6 (guide §2.3, narrower types through the exchange): the per-turn
+    digest crosses the shuffle as 32-byte BINARY (unhex'd sha2) instead
+    of the 64-char hex string — half the digest bytes per row — and is
+    re-hexed (lower(hex(..)) == sha2's hex output exactly) inside the
+    post-shuffle aggregation, so `conv_sig` is bit-identical to the r5
+    formulation (oracle-pinned by the four exact_* queries). NULL text
+    still yields a NULL digest that concat_ws skips, unchanged.
     """
     return (
-        turn_hashes(transcripts)
+        transcripts.withColumn(
+            "turn_hash_bin", F.unhex(F.sha2(F.col("text"), 256))
+        )
         .groupBy("conv_id")
         .agg(
             F.sha2(
@@ -112,9 +122,11 @@ def conversation_signatures(transcripts: DataFrame) -> DataFrame:
                     _SEP,
                     F.transform(
                         F.array_sort(
-                            F.collect_list(F.struct("turn_idx", "turn_hash"))
+                            F.collect_list(
+                                F.struct("turn_idx", "turn_hash_bin")
+                            )
                         ),
-                        lambda s: s["turn_hash"],
+                        lambda s: F.lower(F.hex(s["turn_hash_bin"])),
                     ),
                 ),
                 256,

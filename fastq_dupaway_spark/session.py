@@ -55,12 +55,24 @@ def get_spark(
         .config("spark.shuffle.sort.bypassMergeThreshold", "8")
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
-        # coalescing merges by BYTES; our verify/kernel stages are
-        # byte-small but CPU-dense (array intersections, numpy UDFs), and
-        # coalescing was observed to serialize them into 1-2 tasks. Keep
-        # AQE for skew-join splitting, size partitions via
-        # spark.sql.shuffle.partitions instead.
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # r6: AQE partition coalescing ON, with an explicit parallelism
+        # floor. Rounds 1-5 ran it off because coalescing-by-bytes was
+        # observed to serialize byte-small CPU-dense kernel stages into
+        # 1-2 tasks; the guard is `minPartitionNum = cores`
+        # (parallelismFirst semantics): AQE may merge the many tiny
+        # exchanges these pipelines produce, but never below one
+        # partition per core, so kernel stages keep full parallelism at
+        # every core count (including the local[1]/local[4] scaling
+        # legs, where coalescing toward the core count is exactly the
+        # scale-adaptive behavior wanted). Alternating same-window
+        # bench A/B x2: 41.4/45.8 s off vs 41.0/44.2 s on, with the
+        # char-containment and simhash rows consistently faster and no
+        # row pathological.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(cores),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # let AQE re-optimize the materialization of persisted plans: by
         # default a cached plan keeps its STATIC output partitioning, so

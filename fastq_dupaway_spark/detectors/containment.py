@@ -292,13 +292,19 @@ def _contained_pairs(
     )
     # verify: join needle text + container texts back ONCE, rebuild the
     # suffix at turn_k, exact startswith (kills ph collisions and false
-    # prefix matches)
+    # prefix matches). SHUFFLE_HASH on the text sides (guide §3.1): the
+    # sort-merge fallback sorts candidate rows with text payloads
+    # attached once the text tables outgrow the broadcast envelope
+    # (measured 6x on the semantic verify at x48).
     verified = (
-        cands.join(needles.select("conv_id", "full_text"), "conv_id")
+        cands.join(
+            needles.select("conv_id", "full_text").hint("shuffle_hash"),
+            "conv_id",
+        )
         .join(
             conv_texts.select(
                 F.col("conv_id").alias("container_id"), "texts"
-            ),
+            ).hint("shuffle_hash"),
             "container_id",
         )
         .where(
@@ -473,10 +479,13 @@ def _tail_path_pairs(
     )
     verified = (
         cands.join(
-            tails.select("conv_id", "head", "tail_text"), "conv_id"
+            tails.select("conv_id", "head", "tail_text").hint("shuffle_hash"),
+            "conv_id",
         )
         .join(
-            conv_texts.select(F.col("conv_id").alias("container_id"), "texts"),
+            conv_texts.select(
+                F.col("conv_id").alias("container_id"), "texts"
+            ).hint("shuffle_hash"),
             "container_id",
         )
         .where(
@@ -604,13 +613,15 @@ def _gram_path_pairs(
     )
     verified = (
         cands.join(
-            conv_texts.where(F.size("texts") == 1).select(
-                "conv_id", F.element_at("texts", 1).alias("full")
-            ),
+            conv_texts.where(F.size("texts") == 1)
+            .select("conv_id", F.element_at("texts", 1).alias("full"))
+            .hint("shuffle_hash"),
             "conv_id",
         )
         .join(
-            conv_texts.select(F.col("conv_id").alias("container_id"), "texts"),
+            conv_texts.select(
+                F.col("conv_id").alias("container_id"), "texts"
+            ).hint("shuffle_hash"),
             "container_id",
         )
         .where(F.expr("locate(full, element_at(texts, turn_k)) > 0"))

@@ -372,9 +372,18 @@ def verify_jaccard_pairs_from_sets(
     table — no aggregation here at all; callers persist/checkpoint the
     set table once and it feeds both candidate-join sides (and the
     signature stage). Same JVM array_intersect/array_union kernel as
-    verify_jaccard_pairs."""
-    a = sets.select(F.col("conv_id").alias("conv_a"), F.col("shs").alias("shs_a"))
-    b = sets.select(F.col("conv_id").alias("conv_b"), F.col("shs").alias("shs_b"))
+    verify_jaccard_pairs. The set sides carry SHUFFLE_HASH hints
+    (guide §3.1): beyond the broadcast envelope the planner's sort-merge
+    fallback would SORT candidate rows with both shingle-set payloads
+    attached — the semantic verify measured that exact pathology at 6x
+    (19.0 vs 3.3 s at 1.89M candidates); hash join never sorts the
+    payload."""
+    a = sets.select(
+        F.col("conv_id").alias("conv_a"), F.col("shs").alias("shs_a")
+    ).hint("shuffle_hash")
+    b = sets.select(
+        F.col("conv_id").alias("conv_b"), F.col("shs").alias("shs_b")
+    ).hint("shuffle_hash")
     joined = candidates.join(a, "conv_a").join(b, "conv_b")
     inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
     union = F.size(F.array_union("shs_a", "shs_b")).cast("double")

@@ -120,12 +120,19 @@ def verify_cosine_pairs(
     float-summation orders. Embeddings join back by id — the candidate
     join itself never shuffles vector payloads.
     """
+    # SHUFFLE_HASH on the embedding sides (guide §3.1, deliberate join
+    # strategy): without the hint the planner falls back to sort-merge
+    # once the embedding table outgrows the broadcast envelope, SORTING
+    # the candidate rows WITH their vector payloads attached — measured
+    # 19.0 s vs 3.3 s for the identical verify at 1.89M candidates
+    # (x48). The embedding side is the build side: fixed-width rows,
+    # bounded per partition; no sort ever touches the payload.
     a = embeddings.select(
         F.col(id_col).alias("conv_a"), F.col(vec_col).alias("va")
-    )
+    ).hint("shuffle_hash")
     b = embeddings.select(
         F.col(id_col).alias("conv_b"), F.col(vec_col).alias("vb")
-    )
+    ).hint("shuffle_hash")
     joined = candidates.select("conv_a", "conv_b").join(a, "conv_a").join(b, "conv_b")
     # vectorized Arrow kernel (similarity.pairwise_cosine): the SQL
     # aggregate/zip_with form is interpreted per element and measured

@@ -423,12 +423,16 @@ def verify_hamming_pairs(
     /root/reference/src/comparator.cpp:84-91). Used by hamming_exact and
     as the optional reference-parity re-verify after simhash banding.
     """
+    # SHUFFLE_HASH on the texts sides: the sort-merge fallback would sort
+    # candidate rows with full conversation-text payloads attached (see
+    # verify_cosine_pairs — measured 6x there); hash join keeps payloads
+    # out of any sort.
     a = conv_texts.select(
         F.col("conv_id").alias("conv_a"), F.col("texts").alias("texts_a")
-    )
+    ).hint("shuffle_hash")
     b = conv_texts.select(
         F.col("conv_id").alias("conv_b"), F.col("texts").alias("texts_b")
-    )
+    ).hint("shuffle_hash")
     joined = candidates.select("conv_a", "conv_b").join(a, "conv_a").join(b, "conv_b")
     return (
         joined.where(F.size("texts_a") == F.size("texts_b"))

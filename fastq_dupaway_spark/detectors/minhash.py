@@ -17,8 +17,8 @@ dedup additionally needs set-similarity. Pipeline:
    slice. Self-join on (band_id, band_key) -> candidates. Hot buckets
    salted into bounded sub-buckets + surfaced via lsh_hot_buckets
    (buckets.py policy; SURVEY.md §4 item 2).
-4. exact Jaccard verify on shingle-hash sets (array_intersect/array_union,
-   JVM-side) -> verified pairs at threshold t.
+4. exact Jaccard verify on shingle-hash sets (array_intersect + size
+   arithmetic, JVM-side) -> verified pairs at threshold t.
 
 Collision note: shingle identity uses xxhash64 — at 10^12 turns a 64-bit
 birthday collision merges two shingles occasionally, which perturbs one
@@ -355,7 +355,14 @@ def verify_jaccard_pairs(
     b = sets.select(F.col("conv_id").alias("conv_b"), F.col("shs").alias("shs_b"))
     joined = candidates.join(a, "conv_a").join(b, "conv_b")
     inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
-    union = F.size(F.array_union("shs_a", "shs_b")).cast("double")
+    # |a ∪ b| = |a| + |b| − |a ∩ b| for DEDUPED sides (collect_set here):
+    # size arithmetic instead of materializing array_union per pair —
+    # bit-identical jaccard (same integers into the same double division;
+    # in-session equality check 0 diffs both directions at bench x8)
+    union = (
+        F.size("shs_a") + F.size("shs_b")
+        - F.size(F.array_intersect("shs_a", "shs_b"))
+    ).cast("double")
     return (
         joined.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
@@ -371,8 +378,8 @@ def verify_jaccard_pairs_from_sets(
     """Exact Jaccard verify against a pre-aggregated (conv_id, shs) set
     table — no aggregation here at all; callers persist/checkpoint the
     set table once and it feeds both candidate-join sides (and the
-    signature stage). Same JVM array_intersect/array_union kernel as
-    verify_jaccard_pairs. The set sides carry SHUFFLE_HASH hints
+    signature stage). Same JVM array_intersect + size-arithmetic kernel
+    as verify_jaccard_pairs. The set sides carry SHUFFLE_HASH hints
     (guide §3.1): beyond the broadcast envelope the planner's sort-merge
     fallback would SORT candidate rows with both shingle-set payloads
     attached — the semantic verify measured that exact pathology at 6x
@@ -386,7 +393,14 @@ def verify_jaccard_pairs_from_sets(
     ).hint("shuffle_hash")
     joined = candidates.join(a, "conv_a").join(b, "conv_b")
     inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
-    union = F.size(F.array_union("shs_a", "shs_b")).cast("double")
+    # |a ∪ b| = |a| + |b| − |a ∩ b|: the set-table contract (pre-deduped
+    # shs — array_distinct in shingle_sets, collect_set in the agg path)
+    # makes the union size pure arithmetic; skips building the union
+    # array per candidate pair. Bit-identical (same ints, same division).
+    union = (
+        F.size("shs_a") + F.size("shs_b")
+        - F.size(F.array_intersect("shs_a", "shs_b"))
+    ).cast("double")
     return (
         joined.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
